@@ -1,0 +1,277 @@
+"""PageRank family: PageRank, ArticleRank, Eigenvector centrality.
+
+Exact semantics replicated from the reference:
+
+* PageRank — /root/reference/algo/src/main/java/org/neo4j/gds/
+  pagerank/PageRankComputation.java:65-103. Init rank = 1-d (alpha;
+  personalized: alpha only on source nodes, 0 elsewhere); per
+  superstep delta = d * sum(messages), rank += delta; a vertex sends
+  delta/degree to out-neighbors only while delta > tolerance, else
+  votes to halt (reactivating on message). Scores are UNNORMALIZED:
+  dangling mass is dropped and isolated vertices stay at alpha —
+  matching GDS, not textbook PageRank.
+* ArticleRank — ArticleRankComputation.java:99 — identical skeleton,
+  message denominator (degree + avgDegree).
+* Eigenvector — EigenvectorComputation.java:73-161 — (A + I) power
+  iteration: next = rank + sum(messages), send next/weightedDegree,
+  master step L2-normalizes and converges when max |Δrank| <= tol.
+
+Iteration accounting: GDS maxIterations counts the initial
+(init+send-only) superstep, so K configured iterations = K-1
+apply steps here; reported ran_iterations matches GDS
+("initial iteration is counted extra", PageRankTest.java:135).
+
+Scale notes: the per-superstep plan is frontier ⋈ edges (hash join,
+AQE-skew-handled) followed by a partial+final sum aggregation — the
+distributed analog of the reference's ReducingMessenger combine. The
+edge DF is persisted once and re-scanned per superstep; state stays
+3 doubles wide per vertex, so a 10^10-vertex state is ~300 GB spread
+over the cluster — well inside shuffle capacity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark import projection
+from graph_data_science_spark.catalog import Graph
+from graph_data_science_spark.pregel import PregelComputation, PregelResult, PregelRunner
+
+
+@dataclass
+class PageRankConfig:
+    """Defaults per PageRankConfig.java:42-57."""
+
+    damping_factor: float = 0.85
+    tolerance: float = 1e-7
+    max_iterations: int = 20
+    weighted: bool = False
+    source_nodes: list[int] | None = None
+
+    def __post_init__(self) -> None:
+        if not 0 < self.damping_factor < 1:
+            raise ValueError("damping_factor must be in (0, 1)")
+        if self.max_iterations < 1:
+            raise ValueError("max_iterations must be >= 1")
+        if self.tolerance < 0:
+            raise ValueError("tolerance must be >= 0")
+
+
+def _degree_state(graph: Graph, weighted: bool) -> DataFrame:
+    """Vertices joined with out-degree (unweighted count or weight sum)."""
+    verts = graph.vertices()
+    edges = graph.view(weight_property=True)
+    deg = (
+        projection.weighted_degrees(edges)
+        if weighted
+        else edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("double").alias("degree")
+        )
+    )
+    return verts.join(deg, "id", "left").fillna({"degree": 0.0})
+
+
+class _PageRankComputation(PregelComputation):
+    reducer = "sum"
+
+    def __init__(self, config: PageRankConfig):
+        self.cfg = config
+        self.alpha = 1.0 - config.damping_factor
+
+    def init(self, graph: Graph) -> DataFrame:
+        st = _degree_state(graph, self.cfg.weighted)
+        if self.cfg.source_nodes:
+            init_rank = F.when(
+                F.col("id").isin([int(s) for s in self.cfg.source_nodes]),
+                F.lit(self.alpha),
+            ).otherwise(F.lit(0.0))
+        else:
+            init_rank = F.lit(self.alpha)
+        return st.select(
+            "id",
+            "degree",
+            init_rank.alias("rank"),
+            init_rank.alias("_delta"),
+            F.lit(False).alias("_halted"),
+        )
+
+    def send(self, active: DataFrame, edges: DataFrame, iteration: int) -> DataFrame:
+        src_share = active.where(F.col("degree") > 0).select(
+            "id", (F.col("_delta") / F.col("degree")).alias("_share")
+        )
+        joined = src_share.join(edges, src_share.id == edges.src)
+        msg = (F.col("_share") * F.col("weight")) if self.cfg.weighted else F.col("_share")
+        return joined.select(F.col("dst"), msg.alias("msg"))
+
+    def step(self, state: DataFrame, inbox: DataFrame, iteration: int) -> DataFrame:
+        d = self.cfg.damping_factor
+        tol = self.cfg.tolerance
+        return (
+            state.join(inbox, "id", "left")
+            .withColumn("_delta", F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0)))
+            .withColumn("rank", F.col("rank") + F.col("_delta"))
+            .withColumn("_halted", ~(F.col("_delta") > F.lit(tol)))
+            .drop("msg")
+        )
+
+
+class _ArticleRankComputation(_PageRankComputation):
+    """ArticleRankComputation.java:90-100 — denominator (degree + avg)."""
+
+    def __init__(self, config: PageRankConfig, avg_degree: float):
+        super().__init__(config)
+        self.avg_degree = avg_degree
+
+    def send(self, active: DataFrame, edges: DataFrame, iteration: int) -> DataFrame:
+        src_share = active.where(F.col("degree") > 0).select(
+            "id",
+            (F.col("_delta") / (F.col("degree") + F.lit(self.avg_degree))).alias("_share"),
+        )
+        joined = src_share.join(edges, src_share.id == edges.src)
+        msg = (F.col("_share") * F.col("weight")) if self.cfg.weighted else F.col("_share")
+        return joined.select(F.col("dst"), msg.alias("msg"))
+
+
+class _EigenvectorComputation(PregelComputation):
+    """EigenvectorComputation.java:92-161 — (A+I) normalized power iteration."""
+
+    reducer = "sum"
+
+    def __init__(self, config: PageRankConfig, node_count: int):
+        self.cfg = config
+        self.node_count = node_count
+
+    def init(self, graph: Graph) -> DataFrame:
+        st = _degree_state(graph, self.cfg.weighted)
+        if self.cfg.source_nodes:
+            srcs = [int(s) for s in self.cfg.source_nodes]
+            init_val = F.when(F.col("id").isin(srcs), F.lit(1.0 / len(srcs))).otherwise(
+                F.lit(0.0)
+            )
+        else:
+            init_val = F.lit(1.0 / self.node_count)
+        # weighted graphs: denominator = weighted degree; unweighted: 1
+        denom = F.col("degree") if self.cfg.weighted else F.lit(1.0)
+        st = st.select(
+            "id",
+            denom.alias("denom"),
+            init_val.alias("next"),  # unnormalized NEXT_RANK
+            F.lit(False).alias("_halted"),
+        )
+        # RANK after GDS superstep 0's master = L2-normalized init
+        norm = st.agg(F.sqrt(F.sum(F.col("next") ** 2))).collect()[0][0] or 1.0
+        return st.withColumn("rank", F.col("next") / F.lit(float(norm)))
+
+    def send(self, active: DataFrame, edges: DataFrame, iteration: int) -> DataFrame:
+        share = active.select("id", (F.col("next") / F.col("denom")).alias("_share"))
+        joined = share.join(edges, share.id == edges.src)
+        msg = (F.col("_share") * F.col("weight")) if self.cfg.weighted else F.col("_share")
+        return joined.select(F.col("dst"), msg.alias("msg"))
+
+    def step(self, state: DataFrame, inbox: DataFrame, iteration: int) -> DataFrame:
+        return (
+            state.join(inbox, "id", "left")
+            .withColumn("next", F.col("rank") + F.coalesce(F.col("msg"), F.lit(0.0)))
+            .drop("msg")
+        )
+
+    def master_compute(self, state: DataFrame, iteration: int) -> tuple[DataFrame, bool]:
+        state = state.localCheckpoint(eager=True)
+        norm = state.agg(F.sqrt(F.sum(F.col("next") ** 2))).collect()[0][0] or 1.0
+        new_state = state.withColumn("_new_rank", F.col("next") / F.lit(float(norm)))
+        max_delta = new_state.agg(
+            F.max(F.abs(F.col("_new_rank") - F.col("rank")))
+        ).collect()[0][0]
+        converged = max_delta is not None and max_delta <= self.cfg.tolerance
+        new_state = new_state.withColumn("rank", F.col("_new_rank")).drop("_new_rank")
+        return new_state, converged
+
+
+def _run(
+    spark: SparkSession,
+    comp: PregelComputation,
+    graph: Graph,
+    config: PageRankConfig,
+    checkpoint_dir: str | None,
+    salt_buckets: int,
+    resume: bool,
+) -> PregelResult:
+    runner = PregelRunner(
+        spark=spark,
+        max_iterations=config.max_iterations - 1,
+        checkpoint_dir=checkpoint_dir,
+        salt_buckets=salt_buckets,
+    )
+    res = runner.run(comp, graph, resume=resume)
+    if not res.did_converge:
+        # GDS counts the initial (send-only) superstep when the loop
+        # exhausts maxIterations; on convergence it reports the index
+        # of the converging superstep, which equals our apply count
+        # (Pregel.java:166-199 loop accounting).
+        res.ran_iterations += 1
+    return res
+
+
+def pagerank(
+    spark: SparkSession,
+    graph: Graph,
+    config: PageRankConfig | None = None,
+    checkpoint_dir: str | None = None,
+    salt_buckets: int = 0,
+    resume: bool = False,
+) -> PregelResult:
+    """GDS-parity PageRank; result state has (id, rank)."""
+    cfg = config or PageRankConfig()
+    res = _run(spark, _PageRankComputation(cfg), graph, cfg, checkpoint_dir, salt_buckets, resume)
+    res.state = res.state.select("id", F.col("rank").alias("score"))
+    return res
+
+
+def article_rank(
+    spark: SparkSession,
+    graph: Graph,
+    config: PageRankConfig | None = None,
+    checkpoint_dir: str | None = None,
+    salt_buckets: int = 0,
+    resume: bool = False,
+) -> PregelResult:
+    cfg = config or PageRankConfig()
+    edges = graph.view()
+    nv = graph.node_count()
+    avg_degree = (edges.count() / nv) if nv else 0.0
+    res = _run(
+        spark,
+        _ArticleRankComputation(cfg, avg_degree),
+        graph,
+        cfg,
+        checkpoint_dir,
+        salt_buckets,
+        resume,
+    )
+    res.state = res.state.select("id", F.col("rank").alias("score"))
+    return res
+
+
+def eigenvector(
+    spark: SparkSession,
+    graph: Graph,
+    config: PageRankConfig | None = None,
+    checkpoint_dir: str | None = None,
+    salt_buckets: int = 0,
+    resume: bool = False,
+) -> PregelResult:
+    cfg = config or PageRankConfig()
+    res = _run(
+        spark,
+        _EigenvectorComputation(cfg, graph.node_count()),
+        graph,
+        cfg,
+        checkpoint_dir,
+        salt_buckets,
+        resume,
+    )
+    res.state = res.state.select("id", F.col("rank").alias("score"))
+    return res

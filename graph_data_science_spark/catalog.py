@@ -1,0 +1,149 @@
+"""Named graph catalog — the GraphStoreCatalog analog.
+
+Reference: /root/reference/core/src/main/java/org/neo4j/gds/core/
+loading/GraphStoreCatalog.java:40-245 (get/set/exists/remove keyed by
+graph name). Here a catalog entry is a pair of DataFrames:
+
+    nodes(id long, **property columns)
+    edges(src long, dst long, rel_type string, weight double)
+
+"Views" (label/type/property filtered graphs handed to algorithms,
+GraphStore.getGraph, api/GraphStore.java:169-173) are lazy filtered
+DataFrames — Catalyst pushes the rel_type/weight predicates into the
+scan, so a view costs nothing until an algorithm runs.
+
+"Mutate" mode (GraphStore.addNodeProperty, api/GraphStore.java:91-95)
+is a join: the result column is appended to the nodes DF and the
+handle re-registered.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_data_science_spark import projection
+
+
+@dataclass
+class Graph:
+    """A catalog entry: edge DF (+ optional node property DF).
+
+    ``edges`` is the canonical-form edge table AFTER orientation and
+    parallel-edge aggregation — the analog of the reference's loaded
+    CSR topology. Algorithms receive filtered views via
+    :meth:`view`.
+    """
+
+    name: str
+    edges: DataFrame
+    nodes: DataFrame | None = None
+    directed: bool = True
+    _cached: list[DataFrame] = field(default_factory=list, repr=False)
+
+    def view(
+        self,
+        rel_types: list[str] | None = None,
+        weight_property: bool = False,
+        default_weight: float = 1.0,
+    ) -> DataFrame:
+        """Filtered single-weight edge view (GraphStore.getGraph analog)."""
+        e = self.edges
+        if rel_types:
+            e = e.where(F.col("rel_type").isin(rel_types))
+        w = F.coalesce(F.col("weight"), F.lit(default_weight)) if weight_property else F.lit(1.0)
+        return e.select("src", "dst", w.alias("weight"))
+
+    def vertices(self) -> DataFrame:
+        if self.nodes is not None:
+            return self.nodes.select("id")
+        return projection.vertices(self.edges)
+
+    def degrees(self) -> DataFrame:
+        return projection.degrees(self.edges)
+
+    def node_count(self) -> int:
+        return self.vertices().count()
+
+    def edge_count(self) -> int:
+        return self.edges.count()
+
+    def with_node_property(self, result: DataFrame, how: str = "left") -> "Graph":
+        """Mutate mode: append result columns to the node property DF."""
+        base = self.nodes if self.nodes is not None else self.vertices()
+        return Graph(
+            name=self.name,
+            edges=self.edges,
+            nodes=base.join(result, "id", how),
+            directed=self.directed,
+        )
+
+    def persist(self, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> "Graph":
+        """Pin the edge table — iterative algorithms re-scan it every
+        superstep, so one materialization amortizes across the run.
+        On a cluster the same role is played by writing the canonical
+        edge table once (Iceberg/parquet) and reading it back.
+        """
+        self.edges = self.edges.persist(level)
+        self._cached.append(self.edges)
+        return self
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()
+
+
+class GraphCatalog:
+    """Session-scoped named-graph registry (GraphStoreCatalog.java:46-161)."""
+
+    def __init__(self) -> None:
+        self._graphs: dict[str, Graph] = {}
+
+    def create(
+        self,
+        name: str,
+        edges: DataFrame,
+        nodes: DataFrame | None = None,
+        orientation: str = "NATURAL",
+        aggregation: str = "NONE",
+        persist: bool = False,
+    ) -> Graph:
+        if name in self._graphs:
+            raise ValueError(f"graph '{name}' already exists in the catalog")
+        e = projection.orient(edges, orientation)
+        e = projection.aggregate_parallel(e, aggregation)
+        if "rel_type" not in e.columns:
+            e = e.withColumn("rel_type", F.lit("REL"))
+        if "weight" not in e.columns:
+            e = e.withColumn("weight", F.lit(1.0))
+        g = Graph(name=name, edges=e.select(*projection.EDGE_COLS), nodes=nodes,
+                  directed=orientation != "UNDIRECTED")
+        if persist:
+            g.persist()
+        self._graphs[name] = g
+        return g
+
+    def get(self, name: str) -> Graph:
+        if name not in self._graphs:
+            raise KeyError(f"graph '{name}' not found; known: {sorted(self._graphs)}")
+        return self._graphs[name]
+
+    def exists(self, name: str) -> bool:
+        return name in self._graphs
+
+    def list(self) -> list[str]:
+        return sorted(self._graphs)
+
+    def drop(self, name: str) -> None:
+        g = self._graphs.pop(name, None)
+        if g is None:
+            raise KeyError(f"graph '{name}' not found")
+        g.unpersist()
+
+    def set(self, name: str, graph: Graph) -> None:
+        """Replace a handle (mutate-mode re-registration)."""
+        self._graphs[name] = graph
