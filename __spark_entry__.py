@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
+for each (omitted only for ops whose kernels are genuinely not
+SQL-expressible — LSH hyperplanes (numpy), simhash bit kernels —
+which the driver records as rows-only checks).
+
+Graph queries run over the link graph derived from the `events`
+table via graph_data_science_spark.sources.events (user event
+streams = conversations, per-user sequence number = turn index,
+event type = invoked tool — the BASELINE.json input_hint shape).
+Vertex ids are closed-form (user_id * 1e6 + turn_idx; tools get
+negative ranks) so every algorithm's fixpoint is reproducible in
+pure SQL. Iterative algorithms are run for a FIXED superstep count
+(tolerance 0) and the oracle unrolls exactly that many iterations —
+the fixture tests in tests/ separately pin GDS-parity at
+convergence with default tolerances.
 """
 
 from __future__ import annotations
@@ -12,27 +23,668 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from graph_data_science_spark.algorithms.degree import degree_centrality
+from graph_data_science_spark.algorithms.labelprop import (
+    LabelPropagationConfig,
+    label_propagation,
+)
+from graph_data_science_spark.algorithms.pagerank import (
+    PageRankConfig,
+    article_rank,
+    eigenvector,
+    pagerank,
+)
+from graph_data_science_spark.algorithms.similarity import (
+    NodeSimilarityConfig,
+    node_similarity,
+)
+from graph_data_science_spark.algorithms.triangle import (
+    local_clustering_coefficient,
+    triangle_count,
+)
+from graph_data_science_spark.algorithms.wcc import WccConfig, wcc
+from graph_data_science_spark.catalog import Graph
+from graph_data_science_spark.functions.scalers import scale_property
+from graph_data_science_spark.pipeline import ann, dedup, sessions, text
+from graph_data_science_spark.sources import events as ev
+
+# fixed superstep counts for the oracle-checked runs
+PR_ITERS = 10
+EIG_ITERS = 5
+LP_ITERS = 2
+JACCARD_THRESHOLD = 0.1
+
+
+# --------------------------------------------------------------------------
+# shared SQL prelude: the event-derived link graph, closed form
+# (mirrors sources/events.py exactly)
+# --------------------------------------------------------------------------
+
+GRAPH_PRELUDE = """
+turns AS MATERIALIZED (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx
+  FROM events
+),
+tools AS MATERIALIZED (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+tv AS MATERIALIZED (
+  SELECT t.user_id * 1000000 + t.turn_idx AS vid, t.user_id, t.turn_idx, tl.tool_vid
+  FROM turns t JOIN tools tl USING (event_type)
+),
+reply AS MATERIALIZED (
+  SELECT vid AS src,
+         lead(vid) OVER (PARTITION BY user_id ORDER BY turn_idx) AS dst
+  FROM tv
+  QUALIFY dst IS NOT NULL
+),
+invokes AS MATERIALIZED (
+  SELECT vid AS src, tool_vid AS dst FROM tv
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM reply UNION ALL SELECT src, dst FROM invokes
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
+  ) u
+),
+deg AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS degree FROM edges GROUP BY src
+)
+"""
+
+
+def _pagerank_sql(iters: int, damping: float = 0.85, avg_deg_term: bool = False) -> str:
+    """Unrolled GDS PageRank/ArticleRank fixpoint: r_{k+1} = (1-d) +
+    d * sum_{u->v} r_k(u) / (deg(u) [+ avgDeg]) — equivalent to the
+    engine's delta formulation by telescoping (see pagerank.py)."""
+    alpha = 1.0 - damping
+    denom = "(d.degree + (SELECT ad FROM avg_deg))" if avg_deg_term else "d.degree"
+    ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    if avg_deg_term:
+        ctes.append(
+            "avg_deg AS MATERIALIZED (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM edges)"
+            " / (SELECT CAST(COUNT(*) AS DOUBLE) FROM verts) AS ad)"
+        )
+    ctes.append(f"pr0 AS MATERIALIZED (SELECT id, {alpha} AS rank FROM verts)")
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"pr{k} AS MATERIALIZED (SELECT v.id, {alpha} + {damping} * COALESCE(s.c, 0.0) AS rank "
+            f"FROM verts v LEFT JOIN (SELECT e.dst AS id, SUM(p.rank / {denom}) AS c "
+            f"FROM edges e JOIN pr{k - 1} p ON p.id = e.src "
+            f"JOIN deg d ON d.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS score FROM pr{iters}"
+    )
+
+
+def _eigenvector_sql(iters: int) -> str:
+    """Unrolled (A+I)-style GDS eigenvector iteration: messages carry
+    the UNnormalized next-vector, next' = rank + sum(messages), rank'
+    = next' / ||next'|| (EigenvectorComputation.java:92-161)."""
+    ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.append(
+        "n0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM verts) AS nxt FROM verts)"
+    )
+    ctes.append(
+        "r0 AS MATERIALIZED (SELECT id, nxt / (SELECT SQRT(SUM(nxt * nxt)) FROM n0) AS rank, nxt FROM n0)"
+    )
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"n{k} AS MATERIALIZED (SELECT r.id, r.rank + COALESCE(s.c, 0.0) AS nxt "
+            f"FROM r{k - 1} r LEFT JOIN (SELECT e.dst AS id, SUM(p.nxt) AS c "
+            f"FROM edges e JOIN r{k - 1} p ON p.id = e.src GROUP BY e.dst) s "
+            f"ON s.id = r.id)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT id, nxt / (SELECT SQRT(SUM(nxt * nxt)) FROM n{k}) AS rank,"
+            f" nxt FROM n{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS score FROM r{iters}"
+    )
+
+
+def _labelprop_sql(iters: int) -> str:
+    """Unrolled synchronous LP on the undirected graph: per round each
+    vertex adopts the argmax-weight neighbor label, ties to the
+    smaller label, keep when no votes (ComputeStepConsumer.java:64-77)."""
+    ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.append("und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)")
+    ctes.append("l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)")
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT e.src AS id, p.label AS vlabel, SUM(1.0) AS total "
+            f"FROM und e JOIN l{k - 1} p ON p.id = e.dst GROUP BY e.src, p.label)"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT id, vlabel FROM (SELECT id, vlabel, "
+            f"ROW_NUMBER() OVER (PARTITION BY id ORDER BY total DESC, vlabel ASC) AS rn "
+            f"FROM v{k}) x WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT p.id, COALESCE(w.vlabel, p.label) AS label "
+            f"FROM l{k - 1} p LEFT JOIN w{k} w ON w.id = p.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
+
+
+TRIANGLE_PRELUDE = (
+    GRAPH_PRELUDE.strip().rstrip(",")
+    + """,
+canon AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+tri AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcount AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) corners GROUP BY id
+)
+"""
+)
+
+DOC_TOKENS = r"list_filter(regexp_split_to_array({col}, '\s+'), x -> x <> '')"
+
+SHINGLES_SQL = r"""
+dtoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1), i -> md5(array_to_string(toks[i:i+2], ' ')))
+    ELSE [md5(array_to_string(toks, ' '))] END
+  )) AS shingle
+  FROM dtoks
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark-side query callables
+# --------------------------------------------------------------------------
+
+def _graph(spark: SparkSession, sf_dir: str, **kw) -> Graph:
+    return ev.events_graph(spark, sf_dir, **kw)
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    res = pagerank(
+        spark, g, PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    )
+    g.unpersist()
+    return res.state.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    res = article_rank(
+        spark, g, PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    )
+    g.unpersist()
+    return res.state.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    res = eigenvector(
+        spark, g, PageRankConfig(tolerance=0.0, max_iterations=EIG_ITERS + 1)
+    )
+    g.unpersist()
+    return res.state.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_wcc_reply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir, rel_types=["REPLY"])
+    res = wcc(spark, g, WccConfig())
+    g.unpersist()
+    return res.state
+
+
+def _q_wcc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    res = wcc(spark, g, WccConfig())
+    g.unpersist()
+    return res.state
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir, orientation="UNDIRECTED")
+    res = label_propagation(
+        spark, g, LabelPropagationConfig(max_iterations=LP_ITERS, blocks=1)
+    )
+    g.unpersist()
+    return res.state
+
+
+def _q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir, persist=False)
+    return degree_centrality(spark, g)
+
+
+def _q_triangle_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir, persist=False)
+    return triangle_count(spark, g).local_counts
+
+
+def _q_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir, persist=False)
+    tr = triangle_count(spark, g)
+    return tr.triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir, persist=False)
+    return local_clustering_coefficient(spark, g)
+
+
+def _q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ev.user_tool_edges(ev.load_table(spark, sf_dir, "events"))
+    g = Graph(name="user_tools", edges=e)
+    return node_similarity(spark, g, NodeSimilarityConfig())
+
+
+def _q_projected_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher-projection analog: the graph IS a SQL query
+    (GraphCreateProc.java:122-151 → spark.sql)."""
+    ev.load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders")
+    ev.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_lineitem")
+    edges = spark.sql(
+        """
+        SELECT o.o_custkey AS src, l.l_suppkey + 10000000 AS dst,
+               'SUPPLIED_BY' AS rel_type, 1.0 AS weight
+        FROM _orders o JOIN _lineitem l ON l.l_orderkey = o.o_orderkey
+        """
+    )
+    from graph_data_science_spark.catalog import GraphCatalog
+
+    cat = GraphCatalog()
+    g = cat.create("proj", edges, aggregation="COUNT")
+    return degree_centrality(spark, g, weighted=True)
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.session_stats(ev.load_table(spark, sf_dir, "events"))
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.add_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_measured", "avg_token_len"
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs).select(
+        "doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.language_id(docs).select("doc_id", "lang_pred")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(emb, emb, k=5)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(emb, emb, dim=64, k=5)
+
+
+def _q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.cosine_near_duplicates(emb, dim=64, threshold=0.4)
+
+
+def _q_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = ev.load_table(spark, sf_dir, "customer")
+    scaled = scale_property(cust, "c_acctbal", "MINMAX", out_col="scaled")
+    return scaled.select("c_custkey", F.round("scaled", 6).alias("scaled"))
+
+
+def _q_scale_stdscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = ev.load_table(spark, sf_dir, "customer")
+    scaled = scale_property(cust, "c_acctbal", "STDSCORE", out_col="scaled")
+    return scaled.select("c_custkey", F.round("scaled", 6).alias("scaled"))
+
+
+# --------------------------------------------------------------------------
+# driver entry points
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the sf0.001 event-derived link graph."""
+    g = ev.events_graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(spark, g, PageRankConfig())
+    g.unpersist()
+    return res.state
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pagerank": _q_pagerank,
+        "article_rank": _q_article_rank,
+        "eigenvector": _q_eigenvector,
+        "wcc_reply": _q_wcc_reply,
+        "wcc_full": _q_wcc_full,
+        "label_propagation": _q_label_propagation,
+        "degree_centrality": _q_degree,
+        "triangle_local": _q_triangle_local,
+        "triangle_global": _q_triangle_global,
+        "local_clustering_coefficient": _q_lcc,
+        "node_similarity": _q_node_similarity,
+        "projected_degree": _q_projected_degree,
+        "session_stats": _q_session_stats,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "language_id": _q_language_id,
+        "fingerprint": _q_fingerprint,
+        "exact_duplicates": _q_exact_dups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_candidates": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "cosine_near_duplicates": _q_cosine_near_dups,
+        "scale_minmax": _q_scale_minmax,
+        "scale_stdscore": _q_scale_stdscore,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pre = GRAPH_PRELUDE.strip().rstrip(",")
+    return {
+        "pagerank": _pagerank_sql(PR_ITERS),
+        "article_rank": _pagerank_sql(PR_ITERS, avg_deg_term=True),
+        "eigenvector": _eigenvector_sql(EIG_ITERS),
+        "wcc_reply": f"""
+WITH {pre}
+SELECT vid AS id, user_id * 1000000 AS component
+FROM tv
+WHERE user_id IN (SELECT user_id FROM turns GROUP BY user_id HAVING COUNT(*) >= 2)
+""",
+        "label_propagation": _labelprop_sql(LP_ITERS),
+        "degree_centrality": f"""
+WITH {pre}
+SELECT v.id, COALESCE(d.degree, 0.0) AS score
+FROM verts v LEFT JOIN deg d ON d.id = v.id
+""",
+        "triangle_local": f"""
+WITH {TRIANGLE_PRELUDE}
+SELECT v.id, COALESCE(t.triangles, 0) AS triangles
+FROM verts v LEFT JOIN tcount t ON t.id = v.id
+""",
+        "triangle_global": f"""
+WITH {TRIANGLE_PRELUDE}
+SELECT COUNT(*) AS n_triangles FROM tri
+""",
+        "local_clustering_coefficient": f"""
+WITH {TRIANGLE_PRELUDE},
+degc AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+  ) u GROUP BY id
+)
+SELECT v.id,
+       CASE WHEN COALESCE(d.degree, 0) < 2 THEN 0.0
+            ELSE 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1))
+       END AS coefficient
+FROM verts v
+LEFT JOIN tcount t ON t.id = v.id
+LEFT JOIN degc d ON d.id = v.id
+""",
+        "node_similarity": """
+WITH tools AS MATERIALIZED (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+ut AS (
+  SELECT DISTINCT e.user_id AS src, tl.tool_vid AS dst
+  FROM events e JOIN tools tl USING (event_type)
+),
+dg AS (SELECT src, COUNT(*) AS deg FROM ut GROUP BY src),
+inter AS (
+  SELECT a.src AS node1, b.src AS node2, COUNT(*) AS inter
+  FROM ut a JOIN ut b ON a.dst = b.dst AND a.src <> b.src
+  GROUP BY a.src, b.src
+),
+sims AS (
+  SELECT node1, node2,
+         ROUND(inter / (d1.deg + d2.deg - inter), 6) AS similarity
+  FROM inter
+  JOIN dg d1 ON d1.src = node1
+  JOIN dg d2 ON d2.src = node2
+)
+SELECT node1, node2, similarity, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT node1, node2, similarity,
+         ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rank
+  FROM sims WHERE similarity >= 1e-42
+) x WHERE rank <= 10
+""",
+        "projected_degree": """
+WITH e AS (
+  SELECT o.o_custkey AS src, l.l_suppkey + 10000000 AS dst, COUNT(*) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_suppkey + 10000000
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) u
+),
+sc AS (SELECT src AS id, CAST(SUM(w) AS DOUBLE) AS score FROM e GROUP BY src)
+SELECT v.id, COALESCE(sc.score, 0.0) AS score
+FROM verts v LEFT JOIN sc ON sc.id = v.id
+""",
+        "session_stats": """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) <= 1800000000
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       ROUND(date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0, 6) AS duration_sec,
+       ROUND(SUM(value), 6) AS total_value
+FROM s2 GROUP BY user_id, session_idx
+""",
+        "text_stats": rf"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='text')} AS toks, length(text) AS nchars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(nchars AS INTEGER) AS n_chars_measured,
+       CASE WHEN len(toks) > 0
+            THEN ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks), 4)
+            ELSE 0.0 END AS avg_token_len
+FROM t
+""",
+        "quality_score": rf"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS len,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         {DOC_TOKENS.format(col='lower(text)')} AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len > 0 THEN CAST(alpha AS DOUBLE) / len ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len > 0 THEN CAST(punct AS DOUBLE) / len ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len >= 100 AND len <= 20000 THEN 1.0 ELSE 0.0 END AS len_band
+  FROM t
+)
+SELECT doc_id,
+       ROUND(alpha_ratio, 4) AS alpha_ratio,
+       ROUND(punct_ratio, 4) AS punct_ratio,
+       ROUND(stop_ratio, 4) AS stopword_ratio,
+       ROUND(0.4 * alpha_ratio + 0.3 * stop_ratio + 0.2 * len_band - 0.1 * punct_ratio,
+             4) AS quality_score
+FROM r
+""",
+        "language_id": rf"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='lower(text)')} AS toks FROM documents
+),
+h AS (
+  SELECT doc_id,
+   len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))) AS h_de,
+   len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+   len(list_filter(toks, x -> list_contains(['el','la','que','de','es'], x))) AS h_es,
+   len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS h_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM h
+""",
+        "fingerprint": rf"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='text')} AS toks FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) >= 5
+            THEN list_min(list_transform(range(1, GREATEST(len(toks) - 4, 1) + 1),
+                 i -> md5(array_to_string(toks[i:i+4], ' '))))
+            ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+FROM t
+""",
+        "exact_duplicates": """
+WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+g AS (SELECT hh, MIN(doc_id) AS group_id FROM h GROUP BY hh)
+SELECT h.doc_id, g.group_id, h.doc_id <> g.group_id AS is_duplicate
+FROM h JOIN g USING (hh)
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+""",
+        "minhash_lsh_candidates": f"""
+WITH {SHINGLES_SQL.strip()},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{h}|' || shingle)) AS h{h}" for h in range(16))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, %d AS band, md5(h%d || '|' || h%d || '|' || h%d || '|' || h%d)"
+      " AS bucket FROM sig" % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+      for b in range(4)
+  )}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+        "ann_cosine_topk": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))) AS cos
+  FROM e q, e c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+           AS rank
+  FROM pairs
+) x WHERE rank <= 5
+""",
+        "scale_minmax": """
+WITH s AS (SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx FROM customer)
+SELECT c_custkey,
+       ROUND((c_acctbal - (SELECT mn FROM s)) / ((SELECT mx FROM s) - (SELECT mn FROM s)),
+             6) AS scaled
+FROM customer
+""",
+        "scale_stdscore": """
+WITH s AS (SELECT AVG(c_acctbal) AS av, STDDEV_POP(c_acctbal) AS sd FROM customer)
+SELECT c_custkey,
+       ROUND((c_acctbal - (SELECT av FROM s)) / (SELECT sd FROM s), 6) AS scaled
+FROM customer
+""",
+    }

@@ -1,0 +1,139 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pagerank": {supersteps, supersteps_per_sec, edges_per_sec, ...},
+   "scaling": {cpus_low, cpus_high, ..., efficiency}}
+
+The "scaling" block is the sandbox evidence for the north_rule's
+N→4N-executor criterion: the same fixed-superstep PageRank job runs
+at local[8] and local[32] on the same input; efficiency =
+(T_low / T_high) / (cpus_high / cpus_low). Skip with
+SPARK_GRAFT_SKIP_SCALING=1 when only per-query timings are needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def make_spark(cpus: str) -> SparkSession:
+    n = int(cpus) if str(cpus).isdigit() else 32
+    return (
+        SparkSession.builder.appName("gds-spark-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def timed_pagerank(spark: SparkSession, sf_dir: str, iters: int = 10) -> dict:
+    """Fixed-superstep PageRank; returns throughput stats."""
+    from graph_data_science_spark.algorithms.pagerank import PageRankConfig, pagerank
+    from graph_data_science_spark.sources import events as ev
+
+    g = ev.events_graph(spark, sf_dir)
+    n_edges = g.edge_count()  # also materializes the persisted edge DF
+    t0 = time.monotonic()
+    res = pagerank(
+        spark, g, PageRankConfig(tolerance=0.0, max_iterations=iters + 1)
+    )
+    res.state.count()
+    wall = time.monotonic() - t0
+    g.unpersist()
+    supersteps = len(res.metrics)
+    return {
+        "edges": n_edges,
+        "supersteps": supersteps,
+        "wall_sec": round(wall, 3),
+        "supersteps_per_sec": round(supersteps / wall, 4),
+        "edges_per_sec": round(n_edges * supersteps / wall, 1),
+    }
+
+
+def run_headline(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "pagerank",
+        "wcc_full",
+        "label_propagation",
+        "triangle_local",
+        "degree_centrality",
+        "node_similarity",
+        "session_stats",
+        "text_stats",
+        "quality_score",
+        "exact_duplicates",
+        "minhash_lsh_candidates",
+        "ann_lsh_topk",
+    ]
+    out: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = make_spark(CPUS)
+    queries = run_headline(spark, SF_DIR)
+    pr_stats = timed_pagerank(spark, SF_DIR)
+    spark.stop()
+
+    result = {
+        "metric": "headline query wall-clock at sf dir (see queries) + "
+        "PageRank supersteps/sec and edges/sec at fixed 10 supersteps",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "pagerank": pr_stats,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        lo, hi = 8, 32
+        scaling = {}
+        for cpus in (lo, hi):
+            s = make_spark(str(cpus))
+            scaling[cpus] = timed_pagerank(s, SF_DIR)
+            s.stop()
+        speedup = scaling[lo]["wall_sec"] / scaling[hi]["wall_sec"]
+        result["scaling"] = {
+            "cpus_low": lo,
+            "cpus_high": hi,
+            "wall_sec_low": scaling[lo]["wall_sec"],
+            "wall_sec_high": scaling[hi]["wall_sec"],
+            "edges_per_sec_low": scaling[lo]["edges_per_sec"],
+            "edges_per_sec_high": scaling[hi]["edges_per_sec"],
+            "speedup": round(speedup, 4),
+            "efficiency": round(speedup / (hi / lo), 4),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
