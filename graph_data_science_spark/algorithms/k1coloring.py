@@ -1,0 +1,119 @@
+"""K-1 coloring — greedy parallel coloring with conflict resolution.
+
+Reference: /root/reference/algo/src/main/java/org/neo4j/gds/beta/
+k1coloring/K1Coloring.java (Çatalyürek et al. speculative coloring):
+repeat until no conflicts or maxIterations:
+
+  1. COLOR: every dirty vertex picks the smallest color not used by
+     any neighbor (ColoringStep).
+  2. VALIDATE: a vertex conflicting with a neighbor of the same
+     color re-enters the dirty set — the one with the HIGHER id
+     yields (ValidationStep keeps the lower id's color).
+
+Spark plan per round: neighbor colors = edges ⋈ state (one shuffle);
+smallest free color via a sorted-set pandas-free trick: collect_set
+of neighbor colors, then `array_min` over the candidate range
+(sequence(0, size)) filtered to non-members — pure JVM expressions.
+Undirected view required (coloring is direction-blind).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark import projection
+from graph_data_science_spark.catalog import Graph
+
+
+def k1coloring(
+    spark: SparkSession,
+    graph: Graph,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, color) — a valid coloring (no two adjacent vertices share
+    a color) using at most maxDegree+1 colors; returns when
+    conflict-free or after max_iterations rounds (the reference also
+    exits without guaranteeing validity at the iteration cap)."""
+    edges = (
+        projection.orient(graph.view().select("src", "dst"), "UNDIRECTED")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    verts = graph.vertices()
+    state = verts.select("id", F.lit(0).alias("color")).localCheckpoint(eager=True)
+    dirty = verts.select("id").localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        if dirty.isEmpty():
+            break
+        # Jones-Plassmann style: of the dirty set, only local priority
+        # maxima recolor this round (priority = hashed id, so chains
+        # don't serialize); everyone else waits -> adjacent dirty
+        # vertices never pick conflicting colors simultaneously.
+        prio = F.xxhash64("id", F.lit(17))
+        d1 = dirty.select("id", prio.alias("_p"))
+        nbr_dirty = (
+            edges.join(d1.withColumnRenamed("id", "src").withColumnRenamed("_p", "_ps"), "src")
+            .join(d1.withColumnRenamed("id", "dst").withColumnRenamed("_p", "_pd"), "dst")
+        )
+        blocked = (
+            nbr_dirty.where(
+                (F.col("_ps") < F.col("_pd"))
+                | ((F.col("_ps") == F.col("_pd")) & (F.col("src") < F.col("dst")))
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        active = dirty.join(blocked, "id", "left_anti")
+        # smallest color not used by any neighbor (active vertices only)
+        nbr_colors = (
+            edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(state.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.collect_set("color").alias("_used"))
+            .withColumn(
+                "_new_color",
+                F.array_min(
+                    F.filter(
+                        F.sequence(F.lit(0), F.size("_used")),
+                        lambda c: ~F.array_contains(F.col("_used"), c),
+                    )
+                ),
+            )
+            .select("id", "_new_color")
+        )
+        state = (
+            state.join(nbr_colors, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_new_color"), F.col("color")).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # next dirty set = still-blocked waiters + any residual conflict
+        # (same color across an edge -> higher id yields)
+        s1 = state.select(F.col("id").alias("src"), F.col("color").alias("_c1"))
+        s2 = state.select(F.col("id").alias("dst"), F.col("color").alias("_c2"))
+        conflicts = (
+            edges.join(s1, "src")
+            .join(s2, "dst")
+            .where((F.col("_c1") == F.col("_c2")) & (F.col("src") > F.col("dst")))
+            .select(F.col("src").alias("id"))
+        )
+        dirty = (
+            blocked.unionByName(conflicts).distinct().localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return state
+
+
+def validate_coloring(graph: Graph, coloring: DataFrame) -> int:
+    """Number of conflicting edges (0 = valid coloring)."""
+    edges = projection.canonical_undirected(graph.edges)
+    c1 = coloring.select(F.col("id").alias("src"), F.col("color").alias("_c1"))
+    c2 = coloring.select(F.col("id").alias("dst"), F.col("color").alias("_c2"))
+    return (
+        edges.join(c1, "src").join(c2, "dst").where(F.col("_c1") == F.col("_c2")).count()
+    )

@@ -133,7 +133,8 @@ class _LabelPropComputation(PregelComputation):
             .withColumn(
                 "_new",
                 F.when(
-                    F.col("id") % 2 == 0, F.coalesce(F.col("msg"), F.col("label"))
+                    F.pmod(F.col("id"), F.lit(2)) == 0,
+                    F.coalesce(F.col("msg"), F.col("label")),
                 ).otherwise(F.col("label")),
             )
             .select(
@@ -152,7 +153,8 @@ class _LabelPropComputation(PregelComputation):
             .withColumn(
                 "_new",
                 F.when(
-                    F.col("id") % 2 == 1, F.coalesce(F.col("msg"), F.col("label"))
+                    F.pmod(F.col("id"), F.lit(2)) == 1,
+                    F.coalesce(F.col("msg"), F.col("label")),
                 ).otherwise(F.col("label")),
             )
             .withColumn("_halted", F.col("_new") == F.col("_old"))

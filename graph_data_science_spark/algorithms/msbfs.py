@@ -1,0 +1,168 @@
+"""Multi-source BFS and the centralities built on it.
+
+Reference blueprint: /root/reference/alpha/alpha-algo/src/main/java/
+org/neo4j/gds/impl/msbfs/MultiSourceBFS.java (bit-parallel ANP BFS,
+64 sources per long) feeding
+
+* closeness centrality — farness(v) = sum of d(s,v) over sources
+  reaching v; component(s) = #nodes reached from s; score =
+  component/farness, Wasserman-Faust variant multiplies by
+  component/(n-1)  (MSClosenessCentrality.java:129-163)
+* harmonic centrality — inverseFarness(v) = sum 1/d(s,v); score =
+  inverseFarness/(n-1)  (HarmonicCentrality.java:61-92)
+
+Spark realization: the reference packs 64 sources into a long and
+BFSes them simultaneously with bitwise OR frontier merges; the
+DataFrame analog keeps a `(src, node, dist)` frontier and lets the
+shuffle machinery batch arbitrarily many sources per round — the
+bit-packing trick becomes unnecessary because `groupBy(node)` already
+aggregates all sources' visits in one pass. Each BFS round is one
+join + one anti-join against the visited set:
+
+    frontier' = (frontier ⋈ edges on node=src') \\ visited
+
+Complexity matches the reference: all-pairs BFS is O(n·m) work — at
+cluster scale restrict `sources` (the reference's own guidance: its
+MSBFS procs are alpha-tier, meant for sampled/bounded use) or bound
+``max_depth`` for k-hop queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark import projection
+from graph_data_science_spark.catalog import Graph
+
+
+def bfs_distances(
+    spark: SparkSession,
+    graph: Graph,
+    sources: DataFrame | None = None,
+    max_depth: int | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """(source, id, dist) — unweighted hop distances from each source.
+
+    ``sources`` is a DF with column `id`; defaults to all vertices
+    (all-pairs). Undirected traversal by default (the closeness /
+    harmonic contract); ``directed=True`` follows edge direction.
+    """
+    edges = graph.view().select("src", "dst")
+    if not directed:
+        edges = projection.orient(edges, "UNDIRECTED").dropDuplicates(["src", "dst"])
+    edges = edges.persist()
+
+    src = (sources or graph.vertices()).select(F.col("id").alias("source"))
+    visited = src.select("source", F.col("source").alias("id"), F.lit(0).alias("dist"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+
+    depth = 0
+    while True:
+        depth += 1
+        if max_depth is not None and depth > max_depth:
+            break
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select("source", F.col("dst").alias("id"), F.lit(depth).alias("dist"))
+            .dropDuplicates(["source", "id"])
+            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited
+
+
+def closeness_centrality(
+    spark: SparkSession,
+    graph: Graph,
+    wasserman_faust: bool = False,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(id, centrality) — MSClosenessCentrality.java:153-163 formula.
+
+    farness(v) = sum of distances from sources to v; component(v) =
+    #nodes v reaches (on the undirected view both equal per-vertex
+    totals). Score: component/farness; Wasserman-Faust multiplies by
+    component/(n-1). 0 when farness is 0 (isolated vertex).
+    """
+    n = graph.node_count()
+    dist = bfs_distances(spark, graph, sources=sources)
+    agg = (
+        dist.where(F.col("dist") > 0)
+        .groupBy(F.col("id"))
+        .agg(
+            F.sum("dist").alias("farness"),
+            F.count(F.lit(1)).alias("reach"),
+        )
+    )
+    score = F.col("reach") / F.col("farness")
+    if wasserman_faust:
+        score = score * (F.col("reach") / F.lit(float(n - 1)))
+    return (
+        graph.vertices()
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("farness").isNull() | (F.col("farness") == 0), F.lit(0.0)
+            )
+            .otherwise(score)
+            .alias("centrality"),
+        )
+    )
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    graph: Graph,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(id, centrality) = (sum over u of 1/d(u,v)) / (n-1)
+    (HarmonicCentrality.java:61-92)."""
+    n = graph.node_count()
+    dist = bfs_distances(spark, graph, sources=sources)
+    agg = (
+        dist.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(1.0 / F.col("dist")).alias("inv_farness"))
+    )
+    return (
+        graph.vertices()
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("inv_farness"), F.lit(0.0)) / F.lit(float(n - 1))).alias(
+                "centrality"
+            ),
+        )
+    )
+
+
+def khop_counts(
+    spark: SparkSession,
+    graph: Graph,
+    sources: DataFrame,
+    k: int,
+    directed: bool = False,
+) -> DataFrame:
+    """(source, n_reachable) — #vertices within <= k hops (excluding
+    the source itself). The bounded-depth MSBFS use case."""
+    dist = bfs_distances(spark, graph, sources=sources, max_depth=k, directed=directed)
+    return (
+        sources.select(F.col("id").alias("source"))
+        .join(
+            dist.where(F.col("dist") > 0)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_reachable")),
+            "source",
+            "left",
+        )
+        .select("source", F.coalesce(F.col("n_reachable"), F.lit(0)).alias("n_reachable"))
+    )

@@ -1,0 +1,120 @@
+"""Shortest paths — single-source (Dijkstra-parity) via frontier relaxation.
+
+The reference's Dijkstra (/root/reference/algo/src/main/java/org/
+neo4j/gds/paths/dijkstra/Dijkstra.java, binary-heap sequential) has
+no efficient distributed analog; its own alpha module ships the
+distributed formulation this engine uses: bucketed/iterative
+relaxation (ShortestPathDeltaStepping.java:266, and the Pregel SSSP
+example examples/pregel-example/.../sssp/SingleSourceShortestPathPregel.java).
+At the fixpoint the per-vertex distances are IDENTICAL to Dijkstra's
+for non-negative weights — parity holds on outputs, not on visit
+order.
+
+Plan per round (same one-shuffle shape as PageRank supersteps):
+
+    relax  = frontier ⋈ edges on id=src -> (dst, dist+w)
+    best   = relax GROUP BY dst AGG min
+    state' = state LEFT JOIN best; frontier' = improved vertices
+
+Rounds = hop-diameter of the shortest-path tree. Source-target mode
+stops early once the target's distance can no longer improve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark import projection
+from graph_data_science_spark.catalog import Graph
+
+
+def sssp(
+    spark: SparkSession,
+    graph: Graph,
+    source: int,
+    weighted: bool = True,
+    directed: bool = True,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """(id, distance, predecessor) — unreachable vertices omitted.
+
+    ``predecessor`` = the smaller-id predecessor among optimal ones
+    (deterministic tie-break; GDS keeps one arbitrary optimal path).
+    """
+    edges = graph.view(weight_property=weighted)
+    if not directed:
+        edges = projection.orient(edges, "UNDIRECTED")
+    if weighted:
+        neg = edges.where(F.col("weight") < 0).isEmpty()
+        if not neg:
+            raise ValueError("sssp requires non-negative weights")
+    edges = edges.persist()
+
+    state = spark.createDataFrame(
+        [(int(source), 0.0, None)], "id long, distance double, predecessor long"
+    ).localCheckpoint(eager=True)
+    frontier = state
+
+    for _ in range(max_iterations):
+        relax = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("distance") + F.col("weight")).alias("_nd"),
+                F.col("src").alias("_pred"),
+            )
+        )
+        best = relax.groupBy("id").agg(F.min("_nd").alias("_best"))
+        # deterministic predecessor: min id among optimal relaxations
+        best = (
+            relax.join(best, "id")
+            .where(F.col("_nd") == F.col("_best"))
+            .groupBy("id")
+            .agg(F.min("_nd").alias("_nd"), F.min("_pred").alias("_pred"))
+        )
+        joined = state.join(best, "id", "full")
+        improved = joined.where(
+            F.col("distance").isNull() | (F.col("_nd") < F.col("distance"))
+        ).select(
+            "id",
+            F.col("_nd").alias("distance"),
+            F.col("_pred").alias("predecessor"),
+        )
+        improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        state = (
+            state.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    edges.unpersist()
+    return state
+
+
+def shortest_path(
+    spark: SparkSession,
+    graph: Graph,
+    source: int,
+    target: int,
+    weighted: bool = True,
+    directed: bool = True,
+) -> tuple[float | None, list[int]]:
+    """(total_cost, [source..target]) — None/[] when unreachable.
+
+    Path reconstruction walks the predecessor column driver-side —
+    path length is O(diameter), not O(graph)."""
+    dist = sssp(spark, graph, source, weighted, directed).persist()
+    rows = {r["id"]: (r["distance"], r["predecessor"]) for r in dist.collect()}
+    dist.unpersist()
+    if target not in rows:
+        return None, []
+    path = [int(target)]
+    cur = target
+    while cur != source:
+        cur = rows[cur][1]
+        path.append(int(cur))
+    path.reverse()
+    return rows[target][0], path

@@ -108,6 +108,9 @@ class PregelRunner:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1
     salt_buckets: int = 0  # >1 enables the explicit two-phase salted reduce
+    #: partitions for the edge/state co-partitioning; None = session
+    #: spark.sql.shuffle.partitions
+    partitions: int | None = None
 
     # -- checkpoint store ------------------------------------------------
     def _ckpt_path(self, superstep: int) -> str:
@@ -188,7 +191,40 @@ class PregelRunner:
         graph: Graph,
         resume: bool = False,
     ) -> PregelResult:
-        edges = graph.view(weight_property=True)
+        """Superstep loop with a ONE-shuffle-per-superstep plan.
+
+        The edge DF is hash-partitioned by `src` once and persisted;
+        the state DF is hash-partitioned by `id` with the same
+        partition count, and localCheckpoint preserves that
+        partitioning across supersteps. Catalyst then plans both the
+        send join (state.id == edges.src) and the apply join
+        (state.id == inbox.id) without exchanges — the only shuffle
+        left is groupBy(dst), i.e. the actual message delivery. AQE
+        partition coalescing is disabled for the loop so the
+        co-partitioning contract holds (restored on exit).
+        """
+        conf = self.spark.conf
+        n_parts = self.partitions or int(conf.get("spark.sql.shuffle.partitions"))
+        prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            return self._run_loop(computation, graph, resume, n_parts)
+        finally:
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+
+    def _run_loop(
+        self,
+        computation: PregelComputation,
+        graph: Graph,
+        resume: bool,
+        n_parts: int,
+    ) -> PregelResult:
+        edges = (
+            graph.view(weight_property=True)
+            .repartition(n_parts, "src")
+            .sortWithinPartitions("src")  # SMJ reuses this ordering every superstep
+            .persist()
+        )
         metrics: list[dict] = []
 
         start_iter = 0
@@ -201,6 +237,7 @@ class PregelRunner:
                 state = computation.init(graph)
         else:
             state = computation.init(graph)
+        state = state.repartition(n_parts, "id")
 
         did_converge = False
         iteration = start_iter
@@ -222,7 +259,12 @@ class PregelRunner:
 
             meta = {"iteration": iteration}
             if self.checkpoint_dir and (iteration % self.checkpoint_every == 0):
+                # parquet round-trip drops the hash partitioning —
+                # restore it so the next superstep stays exchange-free
                 new_state = self._write_checkpoint(new_state, iteration, meta)
+                new_state = new_state.repartition(n_parts, "id").localCheckpoint(
+                    eager=True
+                )
             else:
                 new_state = new_state.localCheckpoint(eager=True)
 
@@ -247,6 +289,7 @@ class PregelRunner:
         else:
             iteration = self.max_iterations
 
+        edges.unpersist()
         return PregelResult(
             state=state,
             ran_iterations=iteration,

@@ -1,0 +1,200 @@
+"""Tests for the tier-2 batch: MSBFS centralities, HITS, SCC,
+K-1 coloring, conductance, collapse path, relationship splitting."""
+
+import math
+
+import numpy as np
+import pytest
+
+from graph_data_science_spark.algorithms.conductance import conductance
+from graph_data_science_spark.algorithms.hits import hits
+from graph_data_science_spark.algorithms.k1coloring import k1coloring, validate_coloring
+from graph_data_science_spark.algorithms.msbfs import (
+    bfs_distances,
+    closeness_centrality,
+    harmonic_centrality,
+    khop_counts,
+)
+from graph_data_science_spark.algorithms.scc import scc
+from graph_data_science_spark.algorithms.walking import collapse_path, split_relationships
+from graph_data_science_spark.catalog import Graph
+from tests.conftest import edge_df
+
+PATH4 = [(0, 1), (1, 2), (2, 3)]  # undirected path a-b-c-d
+
+
+def _graph(spark, pairs, name="g2"):
+    return Graph(name=name, edges=edge_df(spark, pairs))
+
+
+# ------------------------------------------------------------------ MSBFS
+
+def test_bfs_distances_path(spark):
+    g = _graph(spark, PATH4)
+    d = {
+        (r["source"], r["id"]): r["dist"]
+        for r in bfs_distances(spark, g).collect()
+    }
+    assert d[(0, 3)] == 3 and d[(3, 0)] == 3 and d[(1, 2)] == 1
+    assert d[(2, 2)] == 0
+    assert len(d) == 16  # all pairs reachable on a connected 4-path
+
+
+def test_closeness_path(spark):
+    # MSClosenessCentrality.java:153-163: reach/farness
+    g = _graph(spark, PATH4)
+    got = {r["id"]: r["centrality"] for r in closeness_centrality(spark, g).collect()}
+    assert got[0] == pytest.approx(3 / 6)
+    assert got[1] == pytest.approx(3 / 4)
+    assert got[2] == pytest.approx(3 / 4)
+    assert got[3] == pytest.approx(3 / 6)
+
+
+def test_closeness_wasserman_faust(spark):
+    g = _graph(spark, PATH4)
+    got = {
+        r["id"]: r["centrality"]
+        for r in closeness_centrality(spark, g, wasserman_faust=True).collect()
+    }
+    assert got[0] == pytest.approx((3 / 6) * (3 / 3))
+
+
+def test_harmonic_path(spark):
+    # HarmonicCentrality.java:61-92: sum(1/d)/(n-1)
+    g = _graph(spark, PATH4)
+    got = {r["id"]: r["centrality"] for r in harmonic_centrality(spark, g).collect()}
+    assert got[0] == pytest.approx((1 + 1 / 2 + 1 / 3) / 3)
+    assert got[1] == pytest.approx((1 + 1 + 1 / 2) / 3)
+
+
+def test_khop_counts(spark):
+    g = _graph(spark, PATH4)
+    sources = spark.createDataFrame([(0,), (1,)], "id long")
+    got = {
+        r["source"]: r["n_reachable"]
+        for r in khop_counts(spark, g, sources, k=2).collect()
+    }
+    assert got == {0: 2, 1: 3}
+
+
+# ------------------------------------------------------------------ HITS
+
+def test_hits_matches_numpy_power_iteration(spark):
+    pairs = [(0, 2), (0, 3), (1, 2), (2, 3), (3, 0), (1, 3)]
+    g = _graph(spark, pairs)
+    K = 5
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits(spark, g, K).collect()}
+
+    # replicate Hits.java phase order in numpy
+    n = 4
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[s, d] = 1.0
+    auth = A.sum(axis=0)  # in-degree init (receiveIds, Hits.java:118-121)
+    hub = np.ones(n)
+    for _ in range(K):
+        auth = auth / np.sqrt((auth**2).sum())
+        hub = A @ auth
+        hub = hub / np.sqrt((hub**2).sum())
+        auth = A.T @ hub
+    for i in range(n):
+        assert got[i][0] == pytest.approx(auth[i], abs=1e-9)
+        assert got[i][1] == pytest.approx(hub[i], abs=1e-9)
+
+
+# ------------------------------------------------------------------ SCC
+
+def test_scc_two_cycles_and_chain(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1)]
+    g = _graph(spark, pairs)
+    got = {r["id"]: r["component"] for r in scc(spark, g).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_scc_dag_all_singletons(spark):
+    g = _graph(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {r["id"]: r["component"] for r in scc(spark, g).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_scc_single_big_cycle(spark):
+    n = 6
+    g = _graph(spark, [(i, (i + 1) % n) for i in range(n)])
+    got = {r["id"]: r["component"] for r in scc(spark, g).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+# ------------------------------------------------------------- K-1 coloring
+
+def test_k1coloring_triangle(spark):
+    g = _graph(spark, [(0, 1), (1, 2), (0, 2)])
+    col = k1coloring(spark, g)
+    assert validate_coloring(g, col) == 0
+    assert len({r["color"] for r in col.collect()}) == 3
+
+
+def test_k1coloring_star(spark):
+    # speculative parallel coloring guarantees validity and <= deg+1
+    # colors, not minimality (same contract as K1Coloring.java)
+    g = _graph(spark, [(0, i) for i in range(1, 6)])
+    col = k1coloring(spark, g)
+    assert validate_coloring(g, col) == 0
+    assert len({r["color"] for r in col.collect()}) <= 3
+
+
+def test_k1coloring_long_chain(spark):
+    # chains are the adversarial case for speculative coloring —
+    # priority-hash scheduling must converge in far fewer rounds
+    # than the chain length
+    g = _graph(spark, [(i, i + 1) for i in range(60)])
+    col = k1coloring(spark, g)
+    assert validate_coloring(g, col) == 0
+
+
+# ------------------------------------------------------------- conductance
+
+def test_conductance(spark):
+    # communities {0,1} and {2,3}; edges: 0-1 internal, 2-3 internal,
+    # 1-2 external (from community 0's side)
+    g = _graph(spark, [(0, 1), (2, 3), (1, 2)])
+    comms = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 20), (3, 20)], "id long, community long"
+    )
+    got = {r["community"]: r["conductance"] for r in conductance(spark, g, comms).collect()}
+    assert got[10] == pytest.approx(1 / 2)  # 1 external, 1 internal
+    assert got[20] == pytest.approx(0.0)
+
+
+# ------------------------------------------------------------- walking
+
+def test_collapse_path(spark):
+    rows = [
+        (0, 10, "T0", 1.0),
+        (0, 11, "T0", 1.0),
+        (10, 5, "T1", 1.0),
+        (11, 5, "T1", 1.0),
+        (10, 0, "T1", 1.0),  # would self-loop 0->0
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, rel_type string, weight double")
+    g = Graph(name="cp", edges=edges)
+    out = collapse_path(spark, g, ["T0", "T1"], new_type="KNOWS")
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert got == {(0, 5)}
+    assert out.collect()[0]["rel_type"] == "KNOWS"
+
+
+def test_split_relationships(spark):
+    pairs = [(i, j) for i in range(20) for j in range(i + 1, 20) if (i + j) % 3 == 0]
+    g = _graph(spark, pairs)
+    parts = split_relationships(spark, g, holdout_fraction=0.25, seed=7)
+    n_train, n_test = parts["train"].count(), parts["test"].count()
+    assert n_train + n_test == len(pairs)
+    assert 0 < n_test < len(pairs)
+    # negatives never collide with real edges
+    neg = parts["test_negative"].join(
+        g.edges.select("src", "dst"), ["src", "dst"], "inner"
+    )
+    assert neg.count() == 0
+    # deterministic across calls
+    again = split_relationships(spark, g, holdout_fraction=0.25, seed=7)
+    assert again["test"].count() == n_test

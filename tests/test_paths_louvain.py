@@ -1,0 +1,84 @@
+"""Tests for SSSP/shortest-path and Louvain."""
+
+import pytest
+
+from graph_data_science_spark.algorithms.louvain import LouvainConfig, louvain
+from graph_data_science_spark.algorithms.paths import shortest_path, sssp
+from graph_data_science_spark.catalog import Graph
+from tests.conftest import edge_df
+
+
+def _graph(spark, pairs, weights=None, name="gp"):
+    return Graph(name=name, edges=edge_df(spark, pairs, weights))
+
+
+# ------------------------------------------------------------------ SSSP
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    # classic diamond: 0->1 (4), 0->2 (1), 2->1 (2), 1->3 (1), 2->3 (5)
+    pairs = [(0, 1), (0, 2), (2, 1), (1, 3), (2, 3)]
+    w = [4.0, 1.0, 2.0, 1.0, 5.0]
+    g = _graph(spark, pairs, w)
+    got = {r["id"]: (r["distance"], r["predecessor"]) for r in sssp(spark, g, 0).collect()}
+    assert got[0] == (0.0, None)
+    assert got[2] == (1.0, 0)
+    assert got[1] == (3.0, 2)  # via 2, not the direct 4.0 edge
+    assert got[3] == (4.0, 1)
+
+
+def test_sssp_unreachable_omitted(spark):
+    g = _graph(spark, [(0, 1), (2, 3)])
+    ids = {r["id"] for r in sssp(spark, g, 0, weighted=False).collect()}
+    assert ids == {0, 1}
+
+
+def test_shortest_path_reconstruction(spark):
+    pairs = [(0, 1), (0, 2), (2, 1), (1, 3), (2, 3)]
+    w = [4.0, 1.0, 2.0, 1.0, 5.0]
+    g = _graph(spark, pairs, w)
+    cost, path = shortest_path(spark, g, 0, 3)
+    assert cost == 4.0
+    assert path == [0, 2, 1, 3]
+
+
+def test_sssp_negative_weight_rejected(spark):
+    g = _graph(spark, [(0, 1)], [-1.0])
+    with pytest.raises(ValueError):
+        sssp(spark, g, 0)
+
+
+# ------------------------------------------------------------------ Louvain
+
+def _clique(nodes):
+    return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+
+
+def test_louvain_two_cliques(spark):
+    pairs = _clique([0, 1, 2, 3]) + _clique([4, 5, 6, 7]) + [(3, 4)]
+    g = _graph(spark, pairs)
+    res = louvain(spark, g)
+    comms = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert len({comms[i] for i in (0, 1, 2, 3)}) == 1
+    assert len({comms[i] for i in (4, 5, 6, 7)}) == 1
+    assert comms[0] != comms[4]
+    # known modularity of the 2-clique partition on this graph:
+    # m=13; internal both-dir=24; tot each community: 13 ⇒
+    # Q = 24/26 - 2*(13/26)^2 = 12/13 - 1/2
+    assert res.modularity == pytest.approx(12 / 13 - 0.5, abs=1e-9)
+
+
+def test_louvain_ring_of_cliques_levels(spark):
+    # 4 triangles in a ring — classic multi-level fixture
+    cliques = [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]]
+    pairs = []
+    for c in cliques:
+        pairs += _clique(c)
+    pairs += [(2, 3), (5, 6), (8, 9), (11, 0)]
+    g = _graph(spark, pairs)
+    res = louvain(spark, g, LouvainConfig())
+    comms = {r["id"]: r["community"] for r in res.communities.collect()}
+    for c in cliques:
+        assert len({comms[i] for i in c}) == 1, comms
+    assert len({comms[c[0]] for c in cliques}) == 4
+    # m=16 (12 intra + 4 ring); Q = 24/32 - 4*(8/32)^2 = 0.5 exactly
+    assert res.modularity == pytest.approx(0.5, abs=1e-9)
