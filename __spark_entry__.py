@@ -54,6 +54,8 @@ from graph_data_science_spark.sources import events as ev
 PR_ITERS = 10
 EIG_ITERS = 5
 LP_ITERS = 2
+HITS_ITERS = 3
+BFS_LEVELS = 6  # >= diameter of the event graph / user-tool graph
 JACCARD_THRESHOLD = 0.1
 
 
@@ -174,6 +176,80 @@ def _labelprop_sql(iters: int) -> str:
             f"FROM l{k - 1} p LEFT JOIN w{k} w ON w.id = p.id)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled GDS HITS phases (Hits.java:69-157): auth0 = in-degree;
+    per iteration auth /= ||auth||2, hub = sum_out(auth),
+    hub /= ||hub||2, auth = sum_in(hub)."""
+    ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.append(
+        "h0 AS MATERIALIZED (SELECT v.id, COALESCE(a.auth, 0.0) AS auth, 1.0 AS hub "
+        "FROM verts v LEFT JOIN (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS auth "
+        "FROM edges GROUP BY dst) a ON a.id = v.id)"
+    )
+    prev = "h0"
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"an{k} AS MATERIALIZED (SELECT id, auth / (SELECT SQRT(SUM(auth*auth)) FROM {prev}) "
+            f"AS auth, hub FROM {prev})"
+        )
+        ctes.append(
+            f"hb{k} AS MATERIALIZED (SELECT s.id, s.auth, COALESCE(m.h, 0.0) AS hub FROM an{k} s "
+            f"LEFT JOIN (SELECT e.src AS id, SUM(a.auth) AS h FROM edges e "
+            f"JOIN an{k} a ON a.id = e.dst GROUP BY e.src) m ON m.id = s.id)"
+        )
+        ctes.append(
+            f"hn{k} AS MATERIALIZED (SELECT id, auth, hub / (SELECT SQRT(SUM(hub*hub)) FROM hb{k}) "
+            f"AS hub FROM hb{k})"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT s.id, COALESCE(m.a, 0.0) AS auth, s.hub FROM hn{k} s "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(h.hub) AS a FROM edges e "
+            f"JOIN hn{k} h ON h.id = e.src GROUP BY e.dst) m ON m.id = s.id)"
+        )
+        prev = f"h{k}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub FROM {prev}"
+    )
+
+
+def _bfs_dist_ctes(edges_cte: str, seed_cte: str, levels: int, prefix: str = "d") -> str:
+    """Chained min-dist relaxation CTEs: {prefix}{levels} holds
+    (source, id, dist) shortest hop distances after `levels` rounds."""
+    out = [
+        f"{prefix}0 AS MATERIALIZED (SELECT source, id, dist FROM {seed_cte})",
+    ]
+    for k in range(1, levels + 1):
+        out.append(
+            f"{prefix}{k} AS MATERIALIZED (SELECT source, id, MIN(dist) AS dist FROM ("
+            f"SELECT source, id, dist FROM {prefix}{k - 1} "
+            f"UNION ALL "
+            f"SELECT p.source, e.dst AS id, p.dist + 1 AS dist "
+            f"FROM {prefix}{k - 1} p JOIN {edges_cte} e ON e.src = p.id"
+            f") u GROUP BY source, id)"
+        )
+    return ",\n".join(out)
+
+
+USER_TOOL_PRELUDE = """
+tools AS MATERIALIZED (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+ut AS MATERIALIZED (
+  SELECT DISTINCT e.user_id AS src, tl.tool_vid AS dst
+  FROM events e JOIN tools tl USING (event_type)
+),
+utu AS MATERIALIZED (
+  SELECT src, dst FROM ut UNION ALL SELECT dst AS src, src AS dst FROM ut
+),
+utverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM ut UNION ALL SELECT dst FROM ut) u
+)
+"""
 
 
 TRIANGLE_PRELUDE = (
@@ -394,6 +470,95 @@ def _q_scale_stdscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select("c_custkey", F.round("scaled", 6).alias("scaled"))
 
 
+def _user_tool_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    return Graph(
+        name="user_tools",
+        edges=ev.user_tool_edges(ev.load_table(spark, sf_dir, "events")),
+    )
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.hits import hits
+
+    g = _graph(spark, sf_dir)
+    out = hits(spark, g, HITS_ITERS)
+    g.unpersist()
+    return out.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.msbfs import closeness_centrality
+
+    return closeness_centrality(spark, _user_tool_graph(spark, sf_dir))
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.msbfs import harmonic_centrality
+
+    out = harmonic_centrality(spark, _user_tool_graph(spark, sf_dir))
+    return out.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def _q_khop_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.msbfs import khop_counts
+
+    g = _graph(spark, sf_dir, persist=False)
+    sources = g.vertices().where(F.col("id") < 0)
+    return khop_counts(spark, g, sources, k=2)
+
+
+def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.conductance import conductance
+
+    g = _graph(spark, sf_dir, persist=False)
+    comms = g.vertices().select(
+        "id",
+        F.when(F.col("id") < 0, F.col("id"))
+        .otherwise(F.expr("id DIV 1000000"))
+        .alias("community"),
+    )
+    return conductance(spark, g, comms)
+
+
+def _q_collapse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.walking import collapse_path
+
+    g = _graph(spark, sf_dir, persist=False)
+    return collapse_path(spark, g, ["REPLY", "INVOKES"]).select("src", "dst")
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.paths import sssp
+
+    g = _graph(spark, sf_dir)
+    out = sssp(spark, g, source=-1, weighted=False, directed=False)
+    g.unpersist()
+    return out.select("id", "distance")
+
+
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.louvain import louvain
+
+    g = _user_tool_graph(spark, sf_dir)
+    return louvain(spark, g).communities
+
+
+def _q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.k1coloring import k1coloring
+
+    g = _graph(spark, sf_dir, persist=False)
+    return k1coloring(spark, g)
+
+
+def _q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.fastrp import fastrp
+
+    g = _user_tool_graph(spark, sf_dir)
+    return fastrp(spark, g, embedding_dim=16)
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -434,6 +599,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_duplicates": _q_cosine_near_dups,
         "scale_minmax": _q_scale_minmax,
         "scale_stdscore": _q_scale_stdscore,
+        "hits": _q_hits,
+        "closeness_centrality": _q_closeness,
+        "harmonic_centrality": _q_harmonic,
+        "khop_counts": _q_khop_tools,
+        "conductance": _q_conductance,
+        "collapse_path": _q_collapse_path,
+        "sssp": _q_sssp,
+        "louvain": _q_louvain,
+        "k1coloring": _q_k1coloring,
+        "fastrp": _q_fastrp,
     }
 
 
@@ -686,5 +861,73 @@ WITH s AS (SELECT AVG(c_acctbal) AS av, STDDEV_POP(c_acctbal) AS sd FROM custome
 SELECT c_custkey,
        ROUND((c_acctbal - (SELECT av FROM s)) / (SELECT sd FROM s), 6) AS scaled
 FROM customer
+""",
+        "hits": _hits_sql(HITS_ITERS),
+        "closeness_centrality": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM utverts),
+{_bfs_dist_ctes("utu", "seed", BFS_LEVELS)}
+SELECT v.id,
+       CASE WHEN a.farness IS NULL OR a.farness = 0 THEN 0.0
+            ELSE a.reach / a.farness END AS centrality
+FROM utverts v
+LEFT JOIN (
+  SELECT id, SUM(dist) AS farness, COUNT(*) AS reach
+  FROM d{BFS_LEVELS} WHERE dist > 0 GROUP BY id
+) a ON a.id = v.id
+""",
+        "harmonic_centrality": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM utverts),
+{_bfs_dist_ctes("utu", "seed", BFS_LEVELS)}
+SELECT v.id,
+       ROUND(COALESCE(a.invf, 0.0)
+             / ((SELECT COUNT(*) FROM utverts) - 1.0), 6) AS centrality
+FROM utverts v
+LEFT JOIN (
+  SELECT id, SUM(1.0 / dist) AS invf FROM d{BFS_LEVELS} WHERE dist > 0 GROUP BY id
+) a ON a.id = v.id
+""",
+        "khop_counts": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM verts WHERE id < 0),
+{_bfs_dist_ctes("und", "seed", 2)}
+SELECT s.source, COALESCE(a.n, 0) AS n_reachable
+FROM (SELECT id AS source FROM verts WHERE id < 0) s
+LEFT JOIN (
+  SELECT source, COUNT(*) AS n FROM d2 WHERE dist > 0 GROUP BY source
+) a ON a.source = s.source
+""",
+        "conductance": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+comm AS MATERIALIZED (
+  SELECT id, CASE WHEN id < 0 THEN id ELSE id // 1000000 END AS community FROM verts
+),
+tagged AS (
+  SELECT cs.community AS c_src, cd.community AS c_dst
+  FROM edges e
+  JOIN comm cs ON cs.id = e.src
+  JOIN comm cd ON cd.id = e.dst
+)
+SELECT c_src AS community,
+       CASE WHEN COUNT(*) > 0
+            THEN SUM(CASE WHEN c_src <> c_dst THEN 1.0 ELSE 0.0 END)
+                 / CAST(COUNT(*) AS DOUBLE)
+            ELSE 0.0 END AS conductance
+FROM tagged GROUP BY c_src
+""",
+        "collapse_path": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")}
+SELECT DISTINCT r.src, i.dst
+FROM reply r JOIN invokes i ON i.src = r.dst
+WHERE r.src <> i.dst
+""",
+        "sssp": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+seed AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS source, CAST(-1 AS BIGINT) AS id, 0 AS dist),
+{_bfs_dist_ctes("und", "seed", BFS_LEVELS + 2)}
+SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
 """,
     }
