@@ -1,0 +1,290 @@
+"""GdsEngine — the procedure-surface facade (stream/stats/mutate/write + estimate).
+
+Mirrors the reference's four execution modes per algorithm
+(PageRankStreamProc.java:42-69, MutatePropertyProc.java, StatsProc,
+NativeNodePropertyExporter write mode) and the pre-execution memory
+estimation guard (ProcedureExecutor.java:110, memory-usage module):
+
+    gds = GdsEngine(spark)
+    g = gds.graph.create("g", edges_df)
+    gds.pagerank(g).stream()                  # result DataFrame
+    gds.pagerank(g).stats()                   # summary dict
+    g2 = gds.pagerank(g).mutate("pr")         # graph + node property
+    gds.pagerank(g).write("/path/out")        # parquet/csv sink
+    gds.pagerank(g).estimate()                # memory estimate dict
+
+Every mode shares one lazily-computed result DataFrame; stats are a
+single agg with percentile_approx (the HdrHistogram analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.catalog import Graph, GraphCatalog
+
+PERCENTILES = [0.01, 0.05, 0.5, 0.95, 0.99]
+
+
+@dataclass
+class ProcResult:
+    """A mode-polymorphic algorithm invocation (AlgoBaseProc analog)."""
+
+    graph: Graph
+    _compute: Callable[[], tuple[DataFrame, dict]]
+    value_column: str
+    _cached: tuple[DataFrame, dict] | None = field(default=None, repr=False)
+
+    def _run(self) -> tuple[DataFrame, dict]:
+        if self._cached is None:
+            self._cached = self._compute()
+        return self._cached
+
+    # -- modes ------------------------------------------------------------
+    def stream(self) -> DataFrame:
+        """Result rows (originalId, value…) — the .stream mode."""
+        return self._run()[0]
+
+    def stats(self) -> dict[str, Any]:
+        """Aggregate summary — the .stats mode (histograms via
+        percentile_approx, the HdrHistogram analog)."""
+        df, meta = self._run()
+        col = self.value_column
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.avg(F.col(col).cast("double")).alias("mean"),
+            F.percentile_approx(F.col(col).cast("double"), PERCENTILES).alias("pcts"),
+            F.countDistinct(col).alias("distinct"),
+        ).collect()[0]
+        return {
+            "count": row["n"],
+            "min": row["min"],
+            "max": row["max"],
+            "mean": row["mean"],
+            "percentiles": dict(zip([str(p) for p in PERCENTILES], row["pcts"] or [])),
+            "distinct": row["distinct"],
+            **meta,
+        }
+
+    def mutate(self, property_name: str, catalog: GraphCatalog | None = None) -> Graph:
+        """Append the result as a node property — the .mutate mode
+        (GraphStore.addNodeProperty, api/GraphStore.java:91-95)."""
+        df, _ = self._run()
+        renamed = df.withColumnRenamed(self.value_column, property_name)
+        g2 = self.graph.with_node_property(renamed)
+        if catalog is not None:
+            catalog.set(self.graph.name, g2)
+        return g2
+
+    def write(self, path: str, fmt: str = "parquet", mode: str = "overwrite") -> dict:
+        """Persist the result — the .write mode (targets a table path
+        instead of Neo4j; Iceberg `writeTo` when the catalog has it)."""
+        df, meta = self._run()
+        df.write.mode(mode).format(fmt).save(path)
+        return {"path": path, "rows": df.count(), **meta}
+
+    # -- estimation -------------------------------------------------------
+    def estimate(self) -> dict[str, Any]:
+        """Pre-flight memory estimate (Pregel.memoryEstimation analog,
+        Pregel.java:81-98): state bytes = rows x width; message bytes
+        bounded by edge count x 16."""
+        n = self.graph.node_count()
+        m = self.graph.edge_count()
+        state_width = 8 * 4  # id + value + delta + halted, as longs/doubles
+        est = {
+            "node_count": n,
+            "relationship_count": m,
+            "state_bytes": n * state_width,
+            "message_bytes": m * 16,
+            "total_bytes": n * state_width + m * 16,
+        }
+        est["human"] = f"{est['total_bytes'] / (1 << 20):.1f} MiB"
+        return est
+
+
+class GdsEngine:
+    """Session facade: `gds.<algorithm>(graph, **config) -> ProcResult`."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.graph = GraphCatalog()
+
+    def _proc(self, graph, fn, value_column) -> ProcResult:
+        return ProcResult(graph=graph, _compute=fn, value_column=value_column)
+
+    # -- centrality -------------------------------------------------------
+    def pagerank(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.pagerank import PageRankConfig, pagerank
+
+        def run():
+            res = pagerank(self.spark, graph, PageRankConfig(**cfg))
+            return res.state, {
+                "ran_iterations": res.ran_iterations,
+                "did_converge": res.did_converge,
+            }
+
+        return self._proc(graph, run, "score")
+
+    def article_rank(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.pagerank import (
+            PageRankConfig,
+            article_rank,
+        )
+
+        def run():
+            res = article_rank(self.spark, graph, PageRankConfig(**cfg))
+            return res.state, {
+                "ran_iterations": res.ran_iterations,
+                "did_converge": res.did_converge,
+            }
+
+        return self._proc(graph, run, "score")
+
+    def eigenvector(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.pagerank import (
+            PageRankConfig,
+            eigenvector,
+        )
+
+        def run():
+            res = eigenvector(self.spark, graph, PageRankConfig(**cfg))
+            return res.state, {
+                "ran_iterations": res.ran_iterations,
+                "did_converge": res.did_converge,
+            }
+
+        return self._proc(graph, run, "score")
+
+    def degree_centrality(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.degree import degree_centrality
+
+        return self._proc(
+            graph, lambda: (degree_centrality(self.spark, graph, **cfg), {}), "score"
+        )
+
+    def closeness_centrality(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.msbfs import closeness_centrality
+
+        return self._proc(
+            graph,
+            lambda: (closeness_centrality(self.spark, graph, **cfg), {}),
+            "centrality",
+        )
+
+    def harmonic_centrality(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.msbfs import harmonic_centrality
+
+        return self._proc(
+            graph,
+            lambda: (harmonic_centrality(self.spark, graph, **cfg), {}),
+            "centrality",
+        )
+
+    def hits(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.hits import hits
+
+        return self._proc(graph, lambda: (hits(self.spark, graph, **cfg), {}), "auth")
+
+    # -- community --------------------------------------------------------
+    def wcc(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.wcc import WccConfig, wcc
+
+        def run():
+            res = wcc(self.spark, graph, WccConfig(**cfg))
+            return res.state, {
+                "ran_iterations": res.ran_iterations,
+                "did_converge": res.did_converge,
+            }
+
+        return self._proc(graph, run, "component")
+
+    def label_propagation(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.labelprop import (
+            LabelPropagationConfig,
+            label_propagation,
+        )
+
+        def run():
+            res = label_propagation(
+                self.spark, graph, LabelPropagationConfig(**cfg)
+            )
+            return res.state, {
+                "ran_iterations": res.ran_iterations,
+                "did_converge": res.did_converge,
+            }
+
+        return self._proc(graph, run, "label")
+
+    def louvain(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.louvain import LouvainConfig, louvain
+
+        def run():
+            res = louvain(self.spark, graph, LouvainConfig(**cfg))
+            return res.communities, {
+                "modularity": res.modularity,
+                "modularities": res.modularities,
+                "levels": res.levels,
+            }
+
+        return self._proc(graph, run, "community")
+
+    def scc(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.scc import scc
+
+        return self._proc(graph, lambda: (scc(self.spark, graph, **cfg), {}), "component")
+
+    def k1coloring(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.k1coloring import k1coloring
+
+        return self._proc(
+            graph, lambda: (k1coloring(self.spark, graph, **cfg), {}), "color"
+        )
+
+    def triangle_count(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.triangle import triangle_count
+
+        def run():
+            res = triangle_count(self.spark, graph, **cfg)
+            return res.local_counts, {"global_triangle_count": res.global_count}
+
+        return self._proc(graph, run, "triangles")
+
+    def local_clustering_coefficient(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.triangle import (
+            local_clustering_coefficient,
+        )
+
+        return self._proc(
+            graph,
+            lambda: (local_clustering_coefficient(self.spark, graph, **cfg), {}),
+            "coefficient",
+        )
+
+    # -- similarity / embeddings ------------------------------------------
+    def node_similarity(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.similarity import (
+            NodeSimilarityConfig,
+            node_similarity,
+        )
+
+        return self._proc(
+            graph,
+            lambda: (
+                node_similarity(self.spark, graph, NodeSimilarityConfig(**cfg)),
+                {},
+            ),
+            "similarity",
+        )
+
+    def fastrp(self, graph: Graph, **cfg) -> ProcResult:
+        from graph_data_science_spark.algorithms.fastrp import fastrp
+
+        return self._proc(
+            graph, lambda: (fastrp(self.spark, graph, **cfg), {}), "embedding"
+        )

@@ -1,0 +1,64 @@
+"""Graph catalog metadata ops — gds.graph.list/density/degree-distribution.
+
+Reference: /root/reference/proc/catalog/src/main/java/org/neo4j/gds/
+catalog/Graph{List,Drop,Exists}Proc.java and the degree-distribution
+histogram in GraphStoreCatalog.java:185-203 (HdrHistogram percentiles
+p50/p75/p90/p95/p99/p999 + min/max/mean).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from graph_data_science_spark import projection
+from graph_data_science_spark.catalog import Graph
+
+DEGREE_PERCENTILES = [0.5, 0.75, 0.9, 0.95, 0.99, 0.999]
+
+
+def degree_distribution(graph: Graph) -> dict[str, Any]:
+    """min/mean/max/p50..p999 of out-degree — GraphStoreCatalog.java:185-203."""
+    deg = graph.degrees()
+    row = (
+        graph.vertices()
+        .join(deg, "id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+        .agg(
+            F.min("degree").alias("min"),
+            F.max("degree").alias("max"),
+            F.avg("degree").alias("mean"),
+            F.percentile_approx("degree", DEGREE_PERCENTILES).alias("pcts"),
+        )
+        .collect()[0]
+    )
+    out = {"min": row["min"], "max": row["max"], "mean": row["mean"]}
+    for p, v in zip(DEGREE_PERCENTILES, row["pcts"] or []):
+        out[f"p{str(p)[2:]}"] = v
+    return out
+
+
+def density(graph: Graph) -> float:
+    """relationshipCount / (nodeCount * (nodeCount - 1)) — the
+    reference's GraphInfo density formula."""
+    n = graph.node_count()
+    if n < 2:
+        return 0.0
+    return graph.edge_count() / (n * (n - 1))
+
+
+def graph_info(graph: Graph) -> dict[str, Any]:
+    """gds.graph.list row analog."""
+    n = graph.node_count()
+    m = graph.edge_count()
+    rel_types = [r["rel_type"] for r in graph.edges.select("rel_type").distinct().collect()]
+    return {
+        "graphName": graph.name,
+        "nodeCount": n,
+        "relationshipCount": m,
+        "relationshipTypes": sorted(rel_types),
+        "directed": graph.directed,
+        "density": (m / (n * (n - 1))) if n > 1 else 0.0,
+        "degreeDistribution": degree_distribution(graph),
+    }

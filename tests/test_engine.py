@@ -1,0 +1,109 @@
+"""Tests for the GdsEngine mode surface, graph ops, generator, walks."""
+
+import pytest
+
+from graph_data_science_spark.algorithms.randomwalk import random_walks
+from graph_data_science_spark.catalog import Graph
+from graph_data_science_spark.engine import GdsEngine
+from graph_data_science_spark.generator import generate_graph
+from graph_data_science_spark.graph_ops import degree_distribution, density, graph_info
+from tests.conftest import PAGERANK_EDGES, PAGERANK_EXPECTED, edge_df
+
+
+@pytest.fixture()
+def gds(spark):
+    return GdsEngine(spark)
+
+
+def test_stream_mode(spark, gds):
+    g = gds.graph.create("eg1", edge_df(spark, PAGERANK_EDGES))
+    # 41 supersteps @ tol 0 reaches the fixture constants at the
+    # reference's own 1e-5 assert precision (PageRankTest.java:65)
+    got = {
+        r["id"]: r["score"]
+        for r in gds.pagerank(g, max_iterations=41, tolerance=0.0).stream().collect()
+    }
+    for k, v in PAGERANK_EXPECTED.items():
+        assert got[k] == pytest.approx(v, abs=1e-5)
+
+
+def test_stats_mode(spark, gds):
+    g = gds.graph.create("eg2", edge_df(spark, PAGERANK_EDGES))
+    st = gds.pagerank(g, max_iterations=41, tolerance=0.0).stats()
+    assert st["count"] == 11
+    assert st["max"] == pytest.approx(3.5604297, abs=1e-5)
+    assert "0.5" in st["percentiles"]
+
+
+def test_mutate_mode(spark, gds):
+    g = gds.graph.create("eg3", edge_df(spark, PAGERANK_EDGES))
+    g2 = gds.wcc(g).mutate("component", catalog=gds.graph)
+    assert "component" in g2.nodes.columns
+    assert gds.graph.get("eg3") is g2
+    # chained algorithm can read the mutated property
+    assert g2.nodes.where("component is null").count() == 0
+
+
+def test_write_mode(spark, gds, tmp_path):
+    g = gds.graph.create("eg4", edge_df(spark, PAGERANK_EDGES))
+    out = gds.degree_centrality(g).write(str(tmp_path / "deg"))
+    assert out["rows"] == 11
+    back = spark.read.parquet(str(tmp_path / "deg"))
+    assert back.count() == 11
+
+
+def test_estimate(spark, gds):
+    g = gds.graph.create("eg5", edge_df(spark, PAGERANK_EDGES))
+    est = gds.pagerank(g).estimate()
+    assert est["node_count"] == 11
+    assert est["relationship_count"] == 17
+    assert est["total_bytes"] > 0
+
+
+def test_graph_ops(spark):
+    g = Graph(name="ops", edges=edge_df(spark, PAGERANK_EDGES))
+    dd = degree_distribution(g)
+    assert dd["max"] == 3 and dd["min"] == 0
+    assert 0 < density(g) < 1
+    info = graph_info(g)
+    assert info["nodeCount"] == 11 and info["relationshipCount"] == 17
+    assert info["relationshipTypes"] == ["REL"]
+
+
+def test_generator_deterministic(spark):
+    a = generate_graph(spark, 1000, average_degree=4, seed=7)
+    b = generate_graph(spark, 1000, average_degree=4, seed=7)
+    assert a.count() == 4000
+    assert a.exceptAll(b).count() == 0  # bit-identical
+    pl = generate_graph(spark, 1000, average_degree=4, distribution="POWER_LAW", seed=7)
+    degs = [r["count"] for r in pl.groupBy("src").count().collect()]
+    assert max(degs) > 4  # heavy tail exists
+    assert min(degs) >= 1
+
+
+def test_random_walks(spark):
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    g = Graph(name="walkg", edges=edge_df(spark, ring))
+    walks = random_walks(spark, g, walk_length=5, walks_per_node=2, seed=3)
+    rows = walks.collect()
+    # 6 nodes x 2 walks x 5 steps (ring never dead-ends)
+    assert len(rows) == 6 * 2 * 5
+    # walks are deterministic
+    again = random_walks(spark, g, walk_length=5, walks_per_node=2, seed=3)
+    assert walks.exceptAll(again).count() == 0
+    # consecutive steps follow edges of the ring
+    byw = {}
+    for r in rows:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["id"]
+    for steps in byw.values():
+        for s in range(len(steps) - 1):
+            assert steps[s + 1] == (steps[s] + 1) % 6
+
+
+def test_random_walks_sink_truncates(spark):
+    g = Graph(name="sinkg", edges=edge_df(spark, [(0, 1), (1, 2)]))
+    walks = random_walks(spark, g, walk_length=10, walks_per_node=1)
+    by_walk = (
+        walks.groupBy("walk_id").count().collect()
+    )
+    assert max(r["count"] for r in by_walk) <= 3  # 0->1->2 then sink
