@@ -53,10 +53,15 @@ def timed_pagerank(spark: SparkSession, sf_dir: str, iters: int = 10) -> dict:
     return _timed_pagerank_on_graph(spark, g, iters)
 
 
-def _timed_pagerank_on_graph(spark: SparkSession, g, iters: int) -> dict:
+def _timed_pagerank_on_graph(spark: SparkSession, g, iters: int, warmup: int = 0) -> dict:
     from graph_data_science_spark.algorithms.pagerank import PageRankConfig, pagerank
 
     n_edges = g.edge_count()  # also materializes the persisted edge DF
+    if warmup:
+        # equalize JVM JIT state across parallelism levels — without
+        # this the level measured second inherits a warm JVM and the
+        # efficiency ratio is meaningless
+        pagerank(spark, g, PageRankConfig(tolerance=0.0, max_iterations=warmup + 1))
     t0 = time.monotonic()
     res = pagerank(
         spark, g, PageRankConfig(tolerance=0.0, max_iterations=iters + 1)
@@ -65,12 +70,16 @@ def _timed_pagerank_on_graph(spark: SparkSession, g, iters: int) -> dict:
     wall = time.monotonic() - t0
     g.unpersist()
     supersteps = len(res.metrics)
+    iter_walls = sorted(m["wall_sec"] for m in res.metrics[1:]) or [wall / supersteps]
+    steady = iter_walls[len(iter_walls) // 2]  # median, excluding superstep 0
     return {
         "edges": n_edges,
         "supersteps": supersteps,
         "wall_sec": round(wall, 3),
         "supersteps_per_sec": round(supersteps / wall, 4),
         "edges_per_sec": round(n_edges * supersteps / wall, 1),
+        "steady_superstep_sec": round(steady, 3),
+        "steady_edges_per_sec": round(n_edges / steady, 1),
     }
 
 
@@ -90,12 +99,14 @@ def scaling_edge_table(path: str, n_conversations: int) -> None:
     spark.stop()
 
 
-def timed_pagerank_on_parquet(spark: SparkSession, path: str, iters: int = 10) -> dict:
+def timed_pagerank_on_parquet(
+    spark: SparkSession, path: str, iters: int = 10, warmup: int = 3
+) -> dict:
     from graph_data_science_spark.catalog import Graph
 
     edges = spark.read.parquet(path)
     g = Graph(name="scaling", edges=edges).persist()
-    return _timed_pagerank_on_graph(spark, g, iters)
+    return _timed_pagerank_on_graph(spark, g, iters, warmup=warmup)
 
 
 def run_headline(spark: SparkSession, sf_dir: str) -> dict[str, float]:
@@ -159,6 +170,9 @@ def main() -> None:
             scaling[cpus] = timed_pagerank_on_parquet(s, path)
             s.stop()
         speedup = scaling[lo]["wall_sec"] / scaling[hi]["wall_sec"]
+        steady_speedup = (
+            scaling[lo]["steady_superstep_sec"] / scaling[hi]["steady_superstep_sec"]
+        )
         result["scaling"] = {
             "cpus_low": lo,
             "cpus_high": hi,
@@ -167,8 +181,12 @@ def main() -> None:
             "wall_sec_high": scaling[hi]["wall_sec"],
             "edges_per_sec_low": scaling[lo]["edges_per_sec"],
             "edges_per_sec_high": scaling[hi]["edges_per_sec"],
+            "steady_edges_per_sec_low": scaling[lo]["steady_edges_per_sec"],
+            "steady_edges_per_sec_high": scaling[hi]["steady_edges_per_sec"],
             "speedup": round(speedup, 4),
             "efficiency": round(speedup / (hi / lo), 4),
+            "steady_speedup": round(steady_speedup, 4),
+            "steady_efficiency": round(steady_speedup / (hi / lo), 4),
         }
 
     print(json.dumps(result))

@@ -1,0 +1,148 @@
+"""Betweenness centrality — batched Brandes with source sampling.
+
+Reference: /root/reference/algo/src/main/java/org/neo4j/gds/
+betweenness/BetweennessCentrality.java (parallel per-source Brandes)
+with SelectionStrategy.java (ALL or RANDOM_DEGREE sampling — the
+reference's answer to O(nm) cost; scores scale by n/samples).
+
+Spark realization — all sampled sources advance TOGETHER, one
+level-synchronous wave per superstep (the MSBFS trick again; a
+driver loop over sources would be O(sources x diameter) jobs,
+this is O(2 x diameter)):
+
+  forward:  frontier(source,id,sigma) ⋈ edges -> sum sigma per
+            (source,dst), minus visited  => levels(source,id,dist,sigma)
+  backward: for L = maxDist..1:
+            delta(v) += sigma(v)/sigma(w) * (1 + delta(w))
+            over tree edges v->w with dist(w)=dist(v)+1
+  score(v) = sum over sources of delta(source,v), halved when the
+             graph is undirected (each pair counted twice), scaled
+             by n/samples when sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark import projection
+from graph_data_science_spark.catalog import Graph
+
+
+def betweenness(
+    spark: SparkSession,
+    graph: Graph,
+    sampling_size: int | None = None,
+    sampling_seed: int = 42,
+    directed: bool = True,
+) -> DataFrame:
+    """(id, score) — exact when sampling_size is None, else the
+    RANDOM sampled estimate scaled by n/samples."""
+    edges = graph.view().select("src", "dst").dropDuplicates(["src", "dst"])
+    if not directed:
+        edges = projection.orient(edges, "UNDIRECTED").dropDuplicates(["src", "dst"])
+    edges = edges.persist()
+    verts = graph.vertices()
+    n = verts.count()
+
+    if sampling_size is not None and sampling_size < n:
+        # deterministic sample: smallest hash values win
+        sources = (
+            verts.withColumn("_h", F.xxhash64("id", F.lit(sampling_seed)))
+            .orderBy("_h")
+            .limit(sampling_size)
+            .select("id")
+        )
+        scale = n / sampling_size
+    else:
+        sources = verts
+        scale = 1.0
+
+    # -- forward sweep: distances + shortest-path counts ------------------
+    frontier = sources.select(
+        F.col("id").alias("source"), F.col("id"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [frontier.withColumn("dist", F.lit(0))]
+    visited = frontier.select("source", "id").localCheckpoint(eager=True)
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .groupBy("source", F.col("dst").alias("_id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("_id", "id")
+            .join(visited, ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt.withColumn("dist", F.lit(depth)))
+        visited = visited.unionByName(nxt.select("source", "id")).repartition(
+            "source", "id"
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+
+    bfs = levels[0]
+    for lv in levels[1:]:
+        bfs = bfs.unionByName(lv)
+    bfs = bfs.repartition("source", "id").localCheckpoint(eager=True)
+    max_depth = depth - 1
+
+    # -- backward accumulation --------------------------------------------
+    # tree edges: v->w with dist(w) = dist(v)+1 (both on a shortest path)
+    delta = None  # (source, id, delta) for levels already processed
+    acc = None  # accumulated per-vertex contributions
+    for lvl in range(max_depth, 0, -1):
+        w_nodes = bfs.where(F.col("dist") == lvl).select(
+            "source", F.col("id").alias("_w"), F.col("sigma").alias("_sw")
+        )
+        if delta is not None:
+            w_nodes = w_nodes.join(
+                delta.select("source", F.col("id").alias("_w"), F.col("delta").alias("_dw")),
+                ["source", "_w"],
+                "left",
+            ).select(
+                "source", "_w", "_sw", F.coalesce(F.col("_dw"), F.lit(0.0)).alias("_dw")
+            )
+        else:
+            w_nodes = w_nodes.withColumn("_dw", F.lit(0.0))
+        v_nodes = bfs.where(F.col("dist") == lvl - 1).select(
+            "source", F.col("id").alias("_v"), F.col("sigma").alias("_sv")
+        )
+        contrib = (
+            edges.join(v_nodes, edges.src == v_nodes._v)
+            .join(
+                w_nodes,
+                (edges.dst == w_nodes._w) & (v_nodes.source == w_nodes.source),
+            )
+            .select(
+                v_nodes.source.alias("source"),
+                F.col("_v").alias("id"),
+                (F.col("_sv") / F.col("_sw") * (1.0 + F.col("_dw"))).alias("_c"),
+            )
+            .groupBy("source", "id")
+            .agg(F.sum("_c").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        delta = contrib
+        # vertices at lvl-1 contribute delta to their betweenness
+        # (excluding the source itself)
+        part = contrib.where(F.col("id") != F.col("source")).groupBy("id").agg(
+            F.sum("delta").alias("_p")
+        )
+        acc = part if acc is None else (
+            acc.unionByName(part).groupBy("id").agg(F.sum("_p").alias("_p"))
+        )
+
+    edges.unpersist()
+    factor = scale * (0.5 if not directed else 1.0)
+    if acc is None:
+        return verts.select("id", F.lit(0.0).alias("score"))
+    return (
+        verts.join(acc, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("_p"), F.lit(0.0)) * F.lit(factor)).alias("score"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""KNN over node properties — deterministic NN-descent.
+
+Reference: /root/reference/algo/src/main/java/org/neo4j/gds/
+similarity/knn/Knn.java (625 LoC; NN-Descent per Dong et al. with
+defaults topK 10, sampleRate 0.5, deltaThreshold 1e-3, randomJoins
+10, maxIterations 100 — KnnBaseConfig.java:41-106), similarity over
+node property vectors (SimilarityComputer.java).
+
+Spark realization, deterministic end-to-end (the reference is
+randomized; GDS itself only promises approximate results):
+
+  init: k hash-pseudo-random candidate neighbors per node
+  iterate: candidates = current ∪ reversed ∪ neighbors-of-neighbors
+           -> cosine via JVM zip_with/aggregate -> grouped top-k
+           until the fraction of changed (node, neighbor) pairs
+           drops below delta_threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.pipeline.ann import _dot, _norm
+
+
+def knn(
+    spark: SparkSession,
+    nodes: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    top_k: int = 10,
+    max_iterations: int = 100,
+    delta_threshold: float = 1e-3,
+    random_joins: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """(node1, node2, similarity, rank) — approximate cosine top-k."""
+    v = nodes.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).persist()
+    n = v.count()
+    ids = v.select("id")
+
+    # deterministic pseudo-random init: k candidates by hashed rank
+    rank_w = Window.orderBy(F.xxhash64("id", F.lit(seed)))
+    indexed = ids.withColumn("_rn", F.row_number().over(rank_w))
+    cand0 = (
+        indexed.crossJoin(spark.range(1, top_k + 1).select(F.col("id").alias("_o")))
+        .select(
+            "id",
+            (F.pmod(F.col("_rn") + F.col("_o") * 7919, F.lit(n)) + 1).alias("_rn2"),
+        )
+        .join(indexed.select(F.col("id").alias("node2"), F.col("_rn").alias("_rn2")), "_rn2")
+        .where(F.col("id") != F.col("node2"))
+        .select(F.col("id").alias("node1"), "node2")
+    )
+
+    def score_and_topk(pairs: DataFrame) -> DataFrame:
+        va = v.select(F.col("id").alias("node1"), F.col("vec").alias("_va"))
+        vb = v.select(F.col("id").alias("node2"), F.col("vec").alias("_vb"))
+        sims = (
+            pairs.dropDuplicates(["node1", "node2"])
+            .join(va, "node1")
+            .join(vb, "node2")
+            .withColumn(
+                "similarity",
+                F.round(
+                    _dot(F.col("_va"), F.col("_vb"))
+                    / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                    6,
+                ),
+            )
+            .select("node1", "node2", "similarity")
+        )
+        win = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
+        return (
+            sims.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= top_k)
+        )
+
+    current = score_and_topk(cand0).localCheckpoint(eager=True)
+
+    for _it in range(max_iterations):
+        fwd = current.select("node1", "node2")
+        rev = current.select(
+            F.col("node2").alias("node1"), F.col("node1").alias("node2")
+        )
+        non = (
+            fwd.join(
+                fwd.withColumnRenamed("node1", "_mid").withColumnRenamed("node2", "_nn"),
+                fwd.node2 == F.col("_mid"),
+            )
+            .select("node1", F.col("_nn").alias("node2"))
+            .where(F.col("node1") != F.col("node2"))
+        )
+        cand = fwd.unionByName(rev).unionByName(non)
+        if random_joins > 0:
+            # KnnBaseConfig.randomJoins: escape local optima with
+            # fresh hash-pseudo-random candidates each round
+            rj = (
+                indexed.crossJoin(
+                    spark.range(random_joins).select(F.col("id").alias("_j"))
+                )
+                .select(
+                    "id",
+                    (
+                        F.pmod(
+                            F.xxhash64("id", F.lit(_it), F.col("_j"), F.lit(seed)),
+                            F.lit(n),
+                        )
+                        + 1
+                    ).alias("_rn2"),
+                )
+                .join(
+                    indexed.select(F.col("id").alias("node2"), F.col("_rn").alias("_rn2")),
+                    "_rn2",
+                )
+                .where(F.col("id") != F.col("node2"))
+                .select(F.col("id").alias("node1"), "node2")
+            )
+            cand = cand.unionByName(rj)
+        new = score_and_topk(cand).localCheckpoint(eager=True)
+        changed = (
+            new.select("node1", "node2")
+            .exceptAll(current.select("node1", "node2"))
+            .count()
+        )
+        current = new
+        if changed <= delta_threshold * n * top_k:
+            break
+
+    v.unpersist()
+    return current

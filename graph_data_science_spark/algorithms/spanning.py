@@ -1,0 +1,117 @@
+"""Minimum spanning forest — distributed Borůvka.
+
+The reference uses sequential Prim from a root
+(/root/reference/alpha/alpha-algo/src/main/java/org/neo4j/gds/impl/
+spanningTrees/Prim.java, 168 LoC; KSpanningTree.java for k-trees).
+Prim's heap is inherently sequential; Borůvka is the distributed
+classic and produces the IDENTICAL minimum spanning forest whenever
+edge weights are distinct (ties here are broken deterministically by
+(weight, src, dst), so the output is always unique — the divergence
+from Prim exists only on tied weights, documented per SURVEY §2.3).
+
+Per round (O(log n) rounds): every component picks its lightest
+outgoing edge (grouped top-1), picked edges join the forest, and
+components merge by min-label propagation over the picked edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_data_science_spark import projection
+from graph_data_science_spark.catalog import Graph
+
+
+def minimum_spanning_forest(
+    spark: SparkSession,
+    graph: Graph,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Forest edges (src, dst, weight) of the undirected MSF."""
+    base = (
+        graph.view(weight_property=True)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+        .persist()
+    )
+    comp = projection.vertices(base).select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint(eager=True)
+    forest = None
+
+    for _ in range(max_rounds):
+        cs = comp.select(F.col("id").alias("src"), F.col("comp").alias("_cs"))
+        cd = comp.select(F.col("id").alias("dst"), F.col("comp").alias("_cd"))
+        cross = (
+            base.join(cs, "src")
+            .join(cd, "dst")
+            .where(F.col("_cs") != F.col("_cd"))
+        )
+        if cross.isEmpty():
+            break
+        # lightest outgoing edge per component (both endpoints' views)
+        both = cross.select(F.col("_cs").alias("c"), "src", "dst", "weight").unionByName(
+            cross.select(F.col("_cd").alias("c"), "src", "dst", "weight")
+        )
+        win = Window.partitionBy("c").orderBy("weight", "src", "dst")
+        picked = (
+            both.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("src", "dst", "weight")
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        forest = picked if forest is None else forest.unionByName(picked).dropDuplicates(
+            ["src", "dst"]
+        )
+        # merge components along picked edges: min-label to fixpoint
+        merged = comp
+        pick_und = picked.select("src", "dst").unionByName(
+            picked.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        while True:
+            msgs = (
+                merged.join(pick_und, merged.id == pick_und.src)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("comp").alias("_m"))
+            )
+            nxt = (
+                merged.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce(F.col("_m"), F.col("comp"))).alias(
+                        "comp"
+                    ),
+                    F.col("comp").alias("_old"),
+                )
+            )
+            # comp-of-comp shortcut for O(log) convergence
+            lbl = nxt.select(F.col("id").alias("_l"), F.col("comp").alias("_lc"))
+            nxt = (
+                nxt.join(lbl, nxt.comp == lbl._l, "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce(F.col("_lc"), F.col("comp"))).alias(
+                        "comp"
+                    ),
+                    "_old",
+                )
+                .localCheckpoint(eager=True)
+            )
+            if nxt.where(F.col("comp") < F.col("_old")).isEmpty():
+                merged = nxt.drop("_old")
+                break
+            merged = nxt.drop("_old")
+        comp = merged.localCheckpoint(eager=True)
+
+    base.unpersist()
+    if forest is None:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    return forest.localCheckpoint(eager=True)

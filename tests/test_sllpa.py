@@ -1,0 +1,34 @@
+"""SLLPA overlapping-community tests."""
+
+from graph_data_science_spark.algorithms.sllpa import sllpa
+from graph_data_science_spark.catalog import Graph
+from tests.conftest import edge_df
+
+
+def _clique(nodes):
+    return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+
+
+def test_sllpa_two_cliques_with_bridge(spark):
+    # two 4-cliques sharing bridge vertex 3: the bridge should end up
+    # associated with both groups' labels (overlap), clique cores with one
+    pairs = _clique([0, 1, 2, 3]) + _clique([3, 4, 5, 6])
+    g = Graph(name="sl1", edges=edge_df(spark, pairs))
+    res = sllpa(spark, g, max_iterations=15, min_association=0.15)
+    memb = {}
+    for r in res.collect():
+        memb.setdefault(r["id"], set()).add(r["community"])
+    # every vertex belongs to at least one community
+    assert set(memb) == set(range(7))
+    # core members of different cliques don't share all labels
+    assert memb[0] != memb[5]
+    # deterministic
+    again = sllpa(spark, g, max_iterations=15, min_association=0.15)
+    assert res.exceptAll(again).count() == 0
+
+
+def test_sllpa_single_clique_converges_to_one(spark):
+    g = Graph(name="sl2", edges=edge_df(spark, _clique([0, 1, 2, 3])))
+    res = sllpa(spark, g, max_iterations=20, min_association=0.5)
+    comms = {r["community"] for r in res.collect()}
+    assert len(comms) == 1
