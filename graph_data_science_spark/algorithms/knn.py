@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.pipeline.ann import _dot, _norm
+from graph_data_science_spark.util import Truncator
 
 
 def knn(
@@ -79,7 +80,10 @@ def knn(
             .where(F.col("rank") <= top_k)
         )
 
-    current = score_and_topk(cand0).localCheckpoint(eager=True)
+    # parquet-truncate each round: this loop hits the local-mode
+    # localCheckpoint-chain slowdown (see util.Truncator docstring)
+    tr = Truncator(spark)
+    current = tr.cut(score_and_topk(cand0))
 
     for _it in range(max_iterations):
         fwd = current.select("node1", "node2")
@@ -120,7 +124,7 @@ def knn(
                 .select(F.col("id").alias("node1"), "node2")
             )
             cand = cand.unionByName(rj)
-        new = score_and_topk(cand).localCheckpoint(eager=True)
+        new = tr.cut(score_and_topk(cand))
         changed = (
             new.select("node1", "node2")
             .exceptAll(current.select("node1", "node2"))
@@ -131,4 +135,6 @@ def knn(
             break
 
     v.unpersist()
+    current = current.localCheckpoint(eager=True)  # outlive the scratch dir
+    tr.close()
     return current

@@ -48,6 +48,39 @@ def density(graph: Graph) -> float:
     return graph.edge_count() / (n * (n - 1))
 
 
+def modularity(graph: Graph, communities, weighted: bool = False) -> float:
+    """Modularity Q of a given (id, community) partition over the
+    undirected view — the reference's gds.alpha.modularity metric
+    (shares the formula with ModularityOptimization.java)."""
+    from graph_data_science_spark.algorithms.louvain import (
+        _modularity,
+        _undirected_weighted,
+    )
+    from pyspark.sql import functions as F
+
+    e = _undirected_weighted(graph)
+    m2 = e.agg(F.sum("w")).collect()[0][0] or 0.0
+    if m2 == 0:
+        return 0.0
+    return _modularity(e, communities, m2)
+
+
+def export_graph(graph: Graph, path: str, fmt: str = "parquet") -> dict[str, Any]:
+    """gds.graph.export analog — dump edges (+node properties) to a
+    table directory (CSV export CsvGraphStoreExporter analog; here
+    parquet/csv/json via the DataFrame writers)."""
+    graph.edges.write.mode("overwrite").format(fmt).option("header", True).save(
+        f"{path}/edges"
+    )
+    out = {"path": path, "relationships": graph.edge_count()}
+    if graph.nodes is not None:
+        graph.nodes.write.mode("overwrite").format(fmt).option("header", True).save(
+            f"{path}/nodes"
+        )
+        out["nodes"] = graph.nodes.count()
+    return out
+
+
 def graph_info(graph: Graph) -> dict[str, Any]:
     """gds.graph.list row analog."""
     n = graph.node_count()
