@@ -470,6 +470,61 @@ def _q_scale_stdscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select("c_custkey", F.round("scaled", 6).alias("scaled"))
 
 
+def _betweenness_sql(levels: int) -> str:
+    """Unrolled Brandes on the undirected user-tool graph: BFS
+    distances (min-dist unroll), then sigma (path counts) forward by
+    level, then dependency accumulation backward by level; final
+    score halves each unordered pair (undirected convention of
+    algorithms/betweenness.py)."""
+    parts = [USER_TOOL_PRELUDE.strip()]
+    parts.append("seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM utverts)")
+    parts.append(_bfs_dist_ctes("utu", "seed", levels))
+    d = f"d{levels}"
+    # sigma by level
+    parts.append(
+        f"s0 AS MATERIALIZED (SELECT source, id, CAST(1 AS DOUBLE) AS sigma FROM {d} WHERE dist = 0)"
+    )
+    for k in range(1, levels + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT * FROM s{k - 1} UNION ALL "
+            f"SELECT p.source, t.id, SUM(p.sigma) AS sigma FROM s{k - 1} p "
+            f"JOIN utu e ON e.src = p.id "
+            f"JOIN {d} pd ON pd.source = p.source AND pd.id = p.id AND pd.dist = {k - 1} "
+            f"JOIN {d} t ON t.source = p.source AND t.id = e.dst AND t.dist = {k} "
+            f"GROUP BY p.source, t.id)"
+        )
+    sig = f"s{levels}"
+    # dependency accumulation backward
+    parts.append(
+        f"del{levels} AS MATERIALIZED (SELECT source, id, CAST(0 AS DOUBLE) AS delta "
+        f"FROM {d} WHERE dist = {levels})"
+    )
+    for k in range(levels - 1, -1, -1):
+        parts.append(
+            f"del{k} AS MATERIALIZED ("
+            f"SELECT v.source, v.id, COALESCE(SUM(sv.sigma / sw.sigma * (1 + COALESCE(dw.delta, 0))), 0) AS delta "
+            f"FROM (SELECT source, id FROM {d} WHERE dist = {k}) v "
+            f"JOIN {sig} sv ON sv.source = v.source AND sv.id = v.id "
+            f"LEFT JOIN utu e ON e.src = v.id "
+            f"LEFT JOIN {d} wd ON wd.source = v.source AND wd.id = e.dst AND wd.dist = {k + 1} "
+            f"LEFT JOIN {sig} sw ON sw.source = v.source AND sw.id = wd.id "
+            f"LEFT JOIN del{k + 1} dw ON dw.source = v.source AND dw.id = wd.id "
+            f"GROUP BY v.source, v.id)"
+        )
+    alldel = " UNION ALL ".join(f"SELECT * FROM del{k}" for k in range(levels + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id, ROUND(COALESCE(b.s, 0.0) * 0.5, 6) AS score
+FROM utverts v
+LEFT JOIN (
+  SELECT id, SUM(delta) AS s FROM ({alldel}) u WHERE id <> source GROUP BY id
+) b ON b.id = v.id
+"""
+    )
+
+
 def _user_tool_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return Graph(
         name="user_tools",
@@ -559,6 +614,61 @@ def _q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fastrp(spark, g, embedding_dim=16)
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.betweenness import betweenness
+
+    out = betweenness(spark, _user_tool_graph(spark, sf_dir), directed=False)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.graph_ops import modularity
+
+    g = _graph(spark, sf_dir, persist=False)
+    comms = g.vertices().select(
+        "id",
+        F.when(F.col("id") < 0, F.col("id"))
+        .otherwise(F.expr("id DIV 1000000"))
+        .alias("community"),
+    )
+    q = modularity(g, comms)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.spanning import minimum_spanning_forest
+
+    return minimum_spanning_forest(spark, _user_tool_graph(spark, sf_dir))
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.knn import knn
+
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return knn(spark, emb, id_col="vec_id", vec_col="embedding", top_k=3,
+               max_iterations=8)
+
+
+def _q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.sllpa import sllpa
+
+    return sllpa(spark, _user_tool_graph(spark, sf_dir), max_iterations=10)
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.randomwalk import random_walks
+
+    g = _graph(spark, sf_dir)
+    # first turns of the 10 smallest user ids — walks follow the
+    # reply chain / tool invocations for up to 5 hops
+    starts = g.vertices().where(F.col("id") >= 0).orderBy("id").limit(10)
+    out = random_walks(
+        spark, g, walk_length=5, walks_per_node=2, start_nodes=starts
+    )
+    g.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -609,6 +719,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": _q_louvain,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
+        "betweenness": _q_betweenness,
+        "modularity": _q_modularity,
+        "minimum_spanning_forest": _q_msf,
+        "knn": _q_knn,
+        "sllpa": _q_sllpa,
+        "random_walks": _q_random_walks,
     }
 
 
@@ -929,5 +1045,34 @@ und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM e
 seed AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS source, CAST(-1 AS BIGINT) AS id, 0 AS dist),
 {_bfs_dist_ctes("und", "seed", BFS_LEVELS + 2)}
 SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
+""",
+        "betweenness": _betweenness_sql(BFS_LEVELS),
+        "modularity": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+comm AS MATERIALIZED (
+  SELECT id, CASE WHEN id < 0 THEN id ELSE id // 1000000 END AS community FROM verts
+),
+und AS MATERIALIZED (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT src, dst, 1.0 AS w FROM edges
+    UNION ALL SELECT dst, src, 1.0 FROM edges
+  ) u GROUP BY src, dst
+),
+m2 AS (SELECT SUM(w) AS v FROM und),
+internal AS (
+  SELECT COALESCE(SUM(e.w), 0.0) AS v FROM und e
+  JOIN comm cs ON cs.id = e.src JOIN comm cd ON cd.id = e.dst
+  WHERE cs.community = cd.community
+),
+tots AS (
+  SELECT SUM(t.tot * t.tot) AS v FROM (
+    SELECT cs.community, SUM(k.k) AS tot
+    FROM (SELECT src, SUM(w) AS k FROM und GROUP BY src) k
+    JOIN comm cs ON cs.id = k.src GROUP BY cs.community
+  ) t
+)
+SELECT ROUND((SELECT v FROM internal) / (SELECT v FROM m2)
+       - (SELECT v FROM tots) / ((SELECT v FROM m2) * (SELECT v FROM m2)),
+       6) AS modularity
 """,
     }
