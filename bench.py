@@ -136,7 +136,40 @@ def run_headline(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _scaling_worker() -> None:
+    """Subprocess entry: one parallelism level in a FRESH JVM.
+
+    Measuring both levels in one long-lived JVM is unreliable — the
+    level measured last inherits accumulated session state and can
+    read 2x slower than in isolation. A fresh JVM per level plus the
+    in-process warmup makes the ratio reproducible."""
+    cpus = os.environ["SPARK_GRAFT_SCALING_WORKER"]
+    path = os.environ["SPARK_GRAFT_SCALING_PATH"]
+    spark = make_spark(cpus)
+    print("WORKER_RESULT " + json.dumps(timed_pagerank_on_parquet(spark, path)))
+    spark.stop()
+
+
+def _run_scaling_level(cpus: int, path: str) -> dict:
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SCALING_WORKER"] = str(cpus)
+    env["SPARK_GRAFT_SCALING_PATH"] = path
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):])
+    raise RuntimeError(f"scaling worker failed: {out.stderr[-2000:]}")
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SCALING_WORKER"):
+        _scaling_worker()
+        return
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark(CPUS)
     queries = run_headline(spark, SF_DIR)
@@ -165,10 +198,12 @@ def main() -> None:
         )
         scaling_edge_table(path, n_conv)
         scaling = {}
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
         for cpus in (lo, hi):
-            s = make_spark(str(cpus))
-            scaling[cpus] = timed_pagerank_on_parquet(s, path)
-            s.stop()
+            # best-of-N fresh-JVM runs: the wall of a single run
+            # carries ~10% machine noise, enough to flip the ratio
+            runs = [_run_scaling_level(cpus, path) for _ in range(repeats)]
+            scaling[cpus] = min(runs, key=lambda r: r["wall_sec"])
         speedup = scaling[lo]["wall_sec"] / scaling[hi]["wall_sec"]
         steady_speedup = (
             scaling[lo]["steady_superstep_sec"] / scaling[hi]["steady_superstep_sec"]

@@ -273,14 +273,22 @@ class PregelRunner:
                 F.sum(F.when(~F.col("_halted"), 1).otherwise(0)).alias("active"),
             ).collect()[0]
             wall = time.monotonic() - t0
-            metrics.append(
-                {
-                    "iteration": iteration,
-                    "active": int(counts["active"] or 0),
-                    "rows": int(counts["n"]),
-                    "wall_sec": wall,
-                }
-            )
+            m = {
+                "iteration": iteration,
+                "active": int(counts["active"] or 0),
+                "rows": int(counts["n"]),
+                "wall_sec": wall,
+            }
+            metrics.append(m)
+            if self.checkpoint_dir:
+                # append-only run log next to the snapshots — the
+                # north_rule's per-iteration metrics record; a resumed
+                # run keeps appending to the same file
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                with open(
+                    os.path.join(self.checkpoint_dir, "metrics.jsonl"), "a"
+                ) as f:
+                    f.write(json.dumps(m) + "\n")
             state = new_state
             if master_converged or int(counts["active"] or 0) == 0:
                 did_converge = True

@@ -21,7 +21,10 @@ def test_pagerank_checkpoint_resume_identical(spark, catalog, tmp_path):
     expected = {r["id"]: r["score"] for r in full.state.collect()}
 
     # simulate a crash: delete the snapshots after superstep 4
+    # (the dir also holds metrics.jsonl — only superstep=* entries count)
     for name in sorted(os.listdir(ckpt)):
+        if not name.startswith("superstep="):
+            continue
         k = int(name.split("=")[1])
         if k > 4:
             import shutil
@@ -49,8 +52,11 @@ def test_checkpoint_manifest_lineage(spark, catalog, tmp_path):
     assert {r["id"]: r["component"] for r in res.state.collect()} == WCC_EXPECTED
     # every superstep sealed with a lineage manifest:
     # per-partition row counts + iteration number
-    snaps = sorted(os.listdir(ckpt))
+    snaps = sorted(n for n in os.listdir(ckpt) if n.startswith("superstep="))
     assert len(snaps) == len(res.metrics)
+    # the run log carries one metrics line per superstep
+    with open(os.path.join(ckpt, "metrics.jsonl")) as f:
+        assert len(f.readlines()) == len(res.metrics)
     for name in snaps:
         with open(os.path.join(ckpt, name, "manifest.json")) as f:
             m = json.load(f)
