@@ -27,6 +27,7 @@ shape as every other superstep in this engine.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -166,3 +167,113 @@ def fastrp(
     if acc is None:
         return state.select("id", F.col("emb").alias("embedding"))
     return acc.select("id", F.col("acc").alias("embedding"))
+
+
+# ---------------------------------------------------------------- exact
+
+
+def _l2_cols(df: DataFrame) -> DataFrame:
+    """Row-wise L2 normalization over an array<double> `emb` column,
+    pure JVM expressions (sequential fold — same evaluation order as
+    an ANSI-SQL windowed sum, so an oracle reproduces it bit-for-bit
+    up to rounding)."""
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        "id",
+        F.when(norm > 0, F.transform("emb", lambda x: x / norm))
+        .otherwise(F.col("emb"))
+        .alias("emb"),
+    )
+
+
+def fastrp_exact(
+    spark: SparkSession,
+    graph: Graph,
+    embedding_dim: int = 8,
+    iteration_weights: list[float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, pos, value) — FastRP with a closed-form two-round LCG init
+    and pure JVM double arithmetic, value-reproducible in ANSI SQL.
+
+    Same semantics as :func:`fastrp` (very sparse ±sqrt(3) projection
+    with p=1/6 per sign, L2-normalized neighbor-mean iterations,
+    iterationWeights-weighted sum — FastRP.java:56-58,
+    FastRPBaseConfig.java:43-69); only the hash differs: instead of
+    splitmix64 (uint64 wrap-around, not expressible in overflow-
+    checked SQL engines) the per-(id, dim) uniform is
+
+        h1 = pmod(id*2654435761 + pos*40503 + seed, 2^31)
+        u  = pmod(h1*1103515245 + 12345, 2^31) / 2^31
+
+    — exact in BIGINT arithmetic everywhere. This is the oracle-
+    checked driver path; the numpy/Arrow :func:`fastrp` is the scale
+    path (float32 kernels, checkpointed iterations).
+    """
+    weights = iteration_weights if iteration_weights is not None else [0.0, 1.0, 1.0]
+    edges = graph.view()
+    verts = graph.vertices()
+    s3 = math.sqrt(3.0)
+    m31 = 2**31
+
+    def init_val(pos):
+        h1 = F.pmod(
+            F.col("id") * F.lit(2654435761) + pos * F.lit(40503) + F.lit(seed),
+            F.lit(m31),
+        )
+        h2 = F.pmod(h1 * F.lit(1103515245) + F.lit(12345), F.lit(m31))
+        u = h2.cast("double") / F.lit(float(m31))
+        return (
+            F.when(u < 1.0 / 6.0, F.lit(s3))
+            .when(u < 1.0 / 3.0, F.lit(-s3))
+            .otherwise(F.lit(0.0))
+        )
+
+    state = _l2_cols(
+        verts.select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(embedding_dim - 1)), init_val
+            ).alias("emb"),
+        )
+    )
+
+    acc = None
+    if weights[0] != 0.0:
+        acc = state.select(
+            "id", F.transform("emb", lambda x: x * F.lit(float(weights[0]))).alias("acc")
+        )
+    zero_vec = F.array(*[F.lit(0.0)] * embedding_dim)
+    for w in weights[1:]:
+        gathered = (
+            edges.join(state.select(F.col("id").alias("dst"), "emb"), "dst")
+            .select("src", F.posexplode("emb").alias("pos", "val"))
+            .groupBy(F.col("src").alias("id"), "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("emb")
+            )
+        )
+        state = _l2_cols(
+            verts.join(gathered, "id", "left").select(
+                "id", F.coalesce("emb", zero_vec).alias("emb")
+            )
+        )
+        if w != 0.0:
+            contrib = state.select(
+                "id", F.transform("emb", lambda x: x * F.lit(float(w))).alias("_c")
+            )
+            if acc is None:
+                acc = contrib.withColumnRenamed("_c", "acc")
+            else:
+                acc = acc.join(contrib, "id").select(
+                    "id", F.zip_with("acc", "_c", lambda a, b: a + b).alias("acc")
+                )
+    out = acc if acc is not None else state.withColumnRenamed("emb", "acc")
+    return out.select("id", F.posexplode("acc").alias("pos", "value")).select(
+        "id", "pos", F.round("value", 6).alias("value")
+    )
