@@ -8,9 +8,12 @@ Prints ONE JSON line:
 
 The "scaling" block is the sandbox evidence for the north_rule's
 N→4N-executor criterion: the same fixed-superstep PageRank job runs
-at local[8] and local[32] on the same input; efficiency =
-(T_low / T_high) / (cpus_high / cpus_low). Skip with
-SPARK_GRAFT_SKIP_SCALING=1 when only per-query timings are needed.
+at local[N] and local[4N] on the same on-disk input (defaults N=4 —
+set SPARK_GRAFT_SCALING_LO/HI to override; the 4→16 pair is used
+because 8→32 saturates single-socket DRAM bandwidth in this sandbox,
+see BENCH.md); efficiency = (T_low / T_high) / (cpus_high /
+cpus_low). Skip with SPARK_GRAFT_SKIP_SCALING=1 when only per-query
+timings are needed.
 """
 
 from __future__ import annotations
@@ -188,10 +191,11 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         # N -> 4N scaling evidence (north_rule): same fixed-superstep
-        # PageRank job, same on-disk input, local[8] vs local[32].
+        # PageRank job, same on-disk input, local[lo] vs local[hi].
         # The input is a synthetic transcript graph big enough that
         # compute dominates scheduling overhead (~7M edges).
-        lo, hi = 4, 16
+        lo = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "4"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", str(4 * lo)))
         n_conv = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "1000000"))
         path = os.path.join(
             os.environ.get("TMPDIR", "/tmp"), f"gds_spark_scaling_{n_conv}"

@@ -43,9 +43,14 @@ def knn(
     n = v.count()
     ids = v.select("id")
 
-    # deterministic pseudo-random init: k candidates by hashed rank
-    rank_w = Window.orderBy(F.xxhash64("id", F.lit(seed)))
-    indexed = ids.withColumn("_rn", F.row_number().over(rank_w))
+    # deterministic pseudo-random init: k candidates by hashed rank —
+    # ranked via util.global_rank (range-partitioned, balanced), NOT a
+    # global single-task Window.orderBy
+    from graph_data_science_spark.util import global_rank
+
+    indexed = global_rank(
+        ids.withColumn("_h", F.xxhash64("id", F.lit(seed))), ["_h"], rank_col="_rn"
+    ).drop("_h")
     cand0 = (
         indexed.crossJoin(spark.range(1, top_k + 1).select(F.col("id").alias("_o")))
         .select(

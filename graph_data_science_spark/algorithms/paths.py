@@ -104,17 +104,24 @@ def shortest_path(
 ) -> tuple[float | None, list[int]]:
     """(total_cost, [source..target]) — None/[] when unreachable.
 
-    Path reconstruction walks the predecessor column driver-side —
-    path length is O(diameter), not O(graph)."""
+    Path reconstruction walks the predecessor chain with one
+    single-row lookup per hop against the persisted distance DF —
+    O(path length) driver memory and O(path length) tiny jobs, never
+    an O(|V|) collect (a 10^10-vertex distance map must stay on the
+    executors)."""
     dist = sssp(spark, graph, source, weighted, directed).persist()
-    rows = {r["id"]: (r["distance"], r["predecessor"]) for r in dist.collect()}
-    dist.unpersist()
-    if target not in rows:
-        return None, []
-    path = [int(target)]
-    cur = target
-    while cur != source:
-        cur = rows[cur][1]
-        path.append(int(cur))
-    path.reverse()
-    return rows[target][0], path
+    try:
+        head = dist.where(F.col("id") == target).collect()
+        if not head:
+            return None, []
+        total = head[0]["distance"]
+        path = [int(target)]
+        cur = head[0]["predecessor"]
+        while cur is not None and path[-1] != source:
+            path.append(int(cur))
+            row = dist.where(F.col("id") == cur).collect()
+            cur = row[0]["predecessor"] if row else None
+        path.reverse()
+        return total, path
+    finally:
+        dist.unpersist()

@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.catalog import Graph
@@ -72,7 +72,10 @@ def split_relationships(
 
     verts = graph.vertices()
     n = verts.count()
-    idx = verts.select("id", F.row_number().over(Window.orderBy("id")).alias("_rn"))
+    # vertex-scale contiguous index without a single-task global sort
+    from graph_data_science_spark.util import global_rank
+
+    idx = global_rank(verts.select("id"), ["id"], rank_col="_rn")
     n_neg = int(test.count() * negative_sampling_ratio)
     cand = (
         test.limit(n_neg)

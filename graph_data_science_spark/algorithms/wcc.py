@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_data_science_spark import projection
@@ -124,10 +124,14 @@ def wcc(
 
     out = res.state.select("id", "component")
     if cfg.consecutive_ids:
-        w = Window.orderBy("component")
-        mapping = (
-            out.select("component").distinct().withColumn("_c", F.dense_rank().over(w) - 1)
-        )
+        # dense 0..C-1 relabel without a global single-task window:
+        # distinct components -> balanced range-partitioned rank
+        # (util.global_rank), then a broadcast-friendly join back
+        from graph_data_science_spark.util import global_rank
+
+        mapping = global_rank(
+            out.select("component").distinct(), ["component"], rank_col="_c"
+        ).withColumn("_c", F.col("_c") - 1)
         out = out.join(mapping, "component").select("id", F.col("_c").alias("component"))
     res.state = out
     return res

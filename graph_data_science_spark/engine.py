@@ -87,7 +87,10 @@ class ProcResult:
         instead of Neo4j; Iceberg `writeTo` when the catalog has it)."""
         df, meta = self._run()
         df.write.mode(mode).format(fmt).save(path)
-        return {"path": path, "rows": df.count(), **meta}
+        # count the re-read output, not the lazy result DF — counting
+        # df would recompute the whole algorithm a second time
+        rows = df.sparkSession.read.format(fmt).load(path).count()
+        return {"path": path, "rows": rows, **meta}
 
     # -- estimation -------------------------------------------------------
     def estimate(self) -> dict[str, Any]:

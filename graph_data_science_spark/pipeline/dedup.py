@@ -72,18 +72,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_doc_freq: int | None = 100_000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard >= threshold.
 
     Plan: shingle-set self-join on shingle -> per-pair intersection
     count -> |union| = |A|+|B|-|∩|. Only docs sharing a shingle ever
-    pair up; the shingle join's skew is bounded by shingle document
-    frequency (cap hot shingles upstream if needed).
+    pair up. The self-join is quadratic in the document frequency of
+    the hottest shingle, so shingles appearing in more than
+    ``max_shingle_doc_freq`` documents are dropped from the join
+    (standard hot-key cap, same device as the minhash path's
+    ``max_bucket_size``); the drop is logged, never silent. Doc sizes
+    still count every shingle, so capped pairs only UNDER-estimate
+    Jaccard (a stopword-shingle shared by >cap docs carries no
+    near-dup signal anyway). ``None`` disables the cap.
     """
     sh = shingle_sets(df, text_col, id_col, n).persist()
+    if max_shingle_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        hot = freq.where(F.col("_df") > max_shingle_doc_freq).persist()
+        n_hot = hot.count()
+        if n_hot:
+            print(
+                f"ngram_jaccard_pairs: dropping {n_hot} hot shingles "
+                f"(doc freq > {max_shingle_doc_freq}) from the pair join"
+            )
+        join_sh = sh.join(hot, "shingle", "left_anti")
+        hot.unpersist()
+    else:
+        join_sh = sh
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = join_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = join_sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))

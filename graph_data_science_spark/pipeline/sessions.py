@@ -24,13 +24,20 @@ def sessionize(
     gap_seconds: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Events + (session_idx) — 0-based per-user session number.
 
     A new session starts when the gap to the previous event is
-    strictly greater than ``gap_seconds``.
+    strictly greater than ``gap_seconds``. ``tiebreak_col`` breaks
+    equal-timestamp ordering deterministically; it is ignored when
+    absent from the input (ordering then falls back to ``ts_col``
+    alone).
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    order = [ts_col]
+    if tiebreak_col and tiebreak_col in events.columns:
+        order.append(tiebreak_col)
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
     is_break = F.when(
         gap.isNull() | (gap <= gap_seconds * 1_000_000), F.lit(0)

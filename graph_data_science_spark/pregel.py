@@ -54,6 +54,71 @@ _REDUCERS: dict[str, Callable[[str], Column]] = {
 }
 
 
+class _CheckpointFS:
+    """Checkpoint-dir metadata IO (manifest / metrics / listing).
+
+    Plain local paths use direct ``os``/``open`` calls; URI paths
+    (hdfs://, s3a://, file://, ...) route through the JVM's Hadoop
+    FileSystem API via py4j, so the same checkpoint_dir that Spark
+    writes parquet state to also carries the manifests on a real
+    cluster. Object stores don't support append, so per-iteration
+    metrics are written as one small file per superstep on remote
+    stores (and kept as an append-only metrics.jsonl locally).
+    """
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base
+        self.remote = "://" in base
+
+    # -- hadoop plumbing ------------------------------------------------
+    def _fs_and_path(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    # -- operations ------------------------------------------------------
+    def write_text(self, path: str, text: str) -> None:
+        if not self.remote:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                f.write(text)
+            return
+        fs, p = self._fs_and_path(path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def append_metric(self, line: str, superstep: int) -> None:
+        if not self.remote:
+            os.makedirs(self.base, exist_ok=True)
+            with open(os.path.join(self.base, "metrics.jsonl"), "a") as f:
+                f.write(line + "\n")
+            return
+        self.write_text(
+            f"{self.base}/metrics/iteration={superstep:05d}.json", line + "\n"
+        )
+
+    def exists(self, path: str) -> bool:
+        if not self.remote:
+            return os.path.exists(path)
+        fs, p = self._fs_and_path(path)
+        return bool(fs.exists(p))
+
+    def list_names(self) -> list[str]:
+        if not self.remote:
+            if not os.path.isdir(self.base):
+                return []
+            return os.listdir(self.base)
+        fs, p = self._fs_and_path(self.base)
+        if not fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
 class PregelComputation:
     """Vectorized computation protocol (PregelComputation.java:38-117).
 
@@ -113,9 +178,13 @@ class PregelRunner:
     partitions: int | None = None
 
     # -- checkpoint store ------------------------------------------------
+    def _store(self) -> _CheckpointFS:
+        assert self.checkpoint_dir
+        return _CheckpointFS(self.spark, self.checkpoint_dir)
+
     def _ckpt_path(self, superstep: int) -> str:
         assert self.checkpoint_dir
-        return os.path.join(self.checkpoint_dir, f"superstep={superstep:05d}")
+        return f"{self.checkpoint_dir.rstrip('/')}/superstep={superstep:05d}"
 
     def _write_checkpoint(self, state: DataFrame, superstep: int, meta: dict) -> DataFrame:
         """Snapshot state + lineage manifest; return the re-read state.
@@ -127,8 +196,8 @@ class PregelRunner:
         supersteps).
         """
         path = self._ckpt_path(superstep)
-        state.write.mode("overwrite").parquet(os.path.join(path, "state"))
-        reread = self.spark.read.parquet(os.path.join(path, "state"))
+        state.write.mode("overwrite").parquet(f"{path}/state")
+        reread = self.spark.read.parquet(f"{path}/state")
         part_counts = [
             {"partition": int(r["p"]), "rows": int(r["n"])}
             for r in reread.groupBy(F.spark_partition_id().alias("p"))
@@ -141,25 +210,25 @@ class PregelRunner:
             "rows": sum(p["rows"] for p in part_counts),
             **meta,
         }
-        with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
+        self._store().write_text(f"{path}/manifest.json", json.dumps(manifest))
         return reread
 
     def latest_checkpoint(self) -> int | None:
         """Highest superstep with a complete (manifest-sealed) snapshot."""
-        if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
+        if not self.checkpoint_dir:
             return None
+        store = self._store()
         best = None
-        for name in os.listdir(self.checkpoint_dir):
-            if name.startswith("superstep=") and os.path.exists(
-                os.path.join(self.checkpoint_dir, name, "manifest.json")
+        for name in store.list_names():
+            if name.startswith("superstep=") and store.exists(
+                f"{self._ckpt_path(int(name.split('=')[1]))}/manifest.json"
             ):
                 k = int(name.split("=")[1])
                 best = k if best is None else max(best, k)
         return best
 
     def _load_checkpoint(self, superstep: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._ckpt_path(superstep), "state"))
+        return self.spark.read.parquet(f"{self._ckpt_path(superstep)}/state")
 
     # -- message reduction ------------------------------------------------
     def _reduce(self, messages: DataFrame, reducer: str) -> DataFrame:
@@ -281,14 +350,11 @@ class PregelRunner:
             }
             metrics.append(m)
             if self.checkpoint_dir:
-                # append-only run log next to the snapshots — the
-                # north_rule's per-iteration metrics record; a resumed
-                # run keeps appending to the same file
-                os.makedirs(self.checkpoint_dir, exist_ok=True)
-                with open(
-                    os.path.join(self.checkpoint_dir, "metrics.jsonl"), "a"
-                ) as f:
-                    f.write(json.dumps(m) + "\n")
+                # per-iteration run log next to the snapshots — the
+                # north_rule's metrics record; append-only jsonl on a
+                # local dir, one file per superstep on object stores
+                # (which cannot append) — see _CheckpointFS
+                self._store().append_metric(json.dumps(m), iteration)
             state = new_state
             if master_converged or int(counts["active"] or 0) == 0:
                 did_converge = True

@@ -56,7 +56,7 @@ def event_turns(events: DataFrame) -> DataFrame:
     event_id breaks timestamp ties deterministically.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    t = events.select(
         "user_id",
         "event_id",
         "ts",
@@ -64,8 +64,21 @@ def event_turns(events: DataFrame) -> DataFrame:
         "value",
         "props",
         (F.row_number().over(w) - 1).alias("turn_idx"),
-    ).withColumn(
-        "vid", F.col("user_id") * F.lit(TURN_ID_BASE) + F.col("turn_idx")
+    )
+    # overflow guard: a user with >= TURN_ID_BASE turns would silently
+    # collide into the next user's vid range — fail loudly instead
+    # (zero extra jobs: the assert is a column evaluated in-flight)
+    guard = F.assert_true(
+        F.col("turn_idx") < F.lit(TURN_ID_BASE),
+        F.concat(
+            F.lit(f"turn_idx overflow: user "),
+            F.col("user_id").cast("string"),
+            F.lit(f" has >= {TURN_ID_BASE} events; raise TURN_ID_BASE"),
+        ),
+    )
+    return t.withColumn(
+        "vid",
+        F.when(guard.isNull(), F.col("user_id") * F.lit(TURN_ID_BASE) + F.col("turn_idx")),
     )
 
 

@@ -26,7 +26,8 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 class Truncator:
@@ -54,3 +55,46 @@ class Truncator:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "_rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Contiguous 1-based global rank by `order_cols` WITHOUT a
+    single-task `Window.orderBy` funnel.
+
+    Plan: range-repartition on the order columns (sampled, balanced,
+    order-preserving across partitions), rank locally per partition,
+    then add per-partition offsets (one tiny driver-side cumsum over
+    `n_parts` rows — O(parallelism), not O(rows)). Two balanced
+    shuffles instead of one all-rows-through-one-task sort; identical
+    output to `row_number().over(Window.orderBy(*order_cols))` when
+    the ordering is total (ties broken by the last order column).
+    """
+    spark = df.sparkSession
+    n = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_gr_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_gr_lr", F.row_number().over(w)).persist()
+    counts = sorted(
+        (int(r["_gr_pid"]), int(r["_n"]))
+        for r in local.groupBy("_gr_pid").agg(F.max("_gr_lr").alias("_n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    mapping = spark.createDataFrame(offsets or [(0, 0)], "_gr_pid int, _gr_off long")
+    out = (
+        local.join(F.broadcast(mapping), "_gr_pid")
+        .withColumn(rank_col, (F.col("_gr_off") + F.col("_gr_lr")).cast("long"))
+        .drop("_gr_pid", "_gr_lr", "_gr_off")
+    )
+    out = out.localCheckpoint(eager=True)
+    local.unpersist()
+    return out
