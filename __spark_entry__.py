@@ -107,25 +107,36 @@ deg AS MATERIALIZED (
 """
 
 
-def _pagerank_sql(iters: int, damping: float = 0.85, avg_deg_term: bool = False) -> str:
+def _pagerank_sql(
+    iters: int,
+    damping: float = 0.85,
+    avg_deg_term: bool = False,
+    edges: str = "edges",
+    verts: str = "verts",
+    deg: str = "deg",
+    extra_ctes: list[str] | None = None,
+) -> str:
     """Unrolled GDS PageRank/ArticleRank fixpoint: r_{k+1} = (1-d) +
     d * sum_{u->v} r_k(u) / (deg(u) [+ avgDeg]) — equivalent to the
-    engine's delta formulation by telescoping (see pagerank.py)."""
+    engine's delta formulation by telescoping (see pagerank.py).
+    `edges`/`verts`/`deg` name the CTEs to iterate over, so the same
+    unroll also serves label-filtered subgraph oracles."""
     alpha = 1.0 - damping
-    denom = "(d.degree + (SELECT ad FROM avg_deg))" if avg_deg_term else "d.degree"
+    denom = f"(d.degree + (SELECT ad FROM avg_deg))" if avg_deg_term else "d.degree"
     ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.extend(extra_ctes or [])
     if avg_deg_term:
         ctes.append(
-            "avg_deg AS MATERIALIZED (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM edges)"
-            " / (SELECT CAST(COUNT(*) AS DOUBLE) FROM verts) AS ad)"
+            f"avg_deg AS MATERIALIZED (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM {edges})"
+            f" / (SELECT CAST(COUNT(*) AS DOUBLE) FROM {verts}) AS ad)"
         )
-    ctes.append(f"pr0 AS MATERIALIZED (SELECT id, {alpha} AS rank FROM verts)")
+    ctes.append(f"pr0 AS MATERIALIZED (SELECT id, {alpha} AS rank FROM {verts})")
     for k in range(1, iters + 1):
         ctes.append(
             f"pr{k} AS MATERIALIZED (SELECT v.id, {alpha} + {damping} * COALESCE(s.c, 0.0) AS rank "
-            f"FROM verts v LEFT JOIN (SELECT e.dst AS id, SUM(p.rank / {denom}) AS c "
-            f"FROM edges e JOIN pr{k - 1} p ON p.id = e.src "
-            f"JOIN deg d ON d.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
+            f"FROM {verts} v LEFT JOIN (SELECT e.dst AS id, SUM(p.rank / {denom}) AS c "
+            f"FROM {edges} e JOIN pr{k - 1} p ON p.id = e.src "
+            f"JOIN {deg} d ON d.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS score FROM pr{iters}"
@@ -309,6 +320,22 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pagerank(
         spark, g, PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
     )
+    g.unpersist()
+    return res.state.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_pagerank_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodeLabels-filtered PageRank: labels=['Turn'] keeps only turn
+    vertices, so the surviving edges are exactly the REPLY chains
+    (every INVOKES edge loses its Tool endpoint). Exercises the
+    catalog's label subgraph path (catalog.Graph.subgraph,
+    AlgoBaseConfig.nodeLabels analog)."""
+    g = ev.events_graph(spark, sf_dir, with_labels=True)
+    sub = g.subgraph(node_labels=["Turn"]).persist()
+    res = pagerank(
+        spark, sub, PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    )
+    sub.unpersist()
     g.unpersist()
     return res.state.select("id", F.round("score", 6).alias("score"))
 
@@ -1006,6 +1033,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank,
+        "pagerank_turns": _q_pagerank_turns,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
         "wcc_reply": _q_wcc_reply,
@@ -1054,6 +1082,18 @@ def oracle_sql() -> dict[str, str]:
     pre = GRAPH_PRELUDE.strip().rstrip(",")
     return {
         "pagerank": _pagerank_sql(PR_ITERS),
+        "pagerank_turns": _pagerank_sql(
+            PR_ITERS,
+            edges="tedges",
+            verts="tverts",
+            deg="tdeg",
+            extra_ctes=[
+                "tedges AS MATERIALIZED (SELECT src, dst FROM reply)",
+                "tverts AS MATERIALIZED (SELECT vid AS id FROM tv)",
+                "tdeg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS degree "
+                "FROM tedges GROUP BY src)",
+            ],
+        ),
         "article_rank": _pagerank_sql(PR_ITERS, avg_deg_term=True),
         "eigenvector": _eigenvector_sql(EIG_ITERS),
         "wcc_reply": f"""

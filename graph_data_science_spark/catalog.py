@@ -62,6 +62,66 @@ class Graph:
             return self.nodes.select("id")
         return projection.vertices(self.edges)
 
+    def subgraph(
+        self,
+        node_labels: list[str] | None = None,
+        rel_types: list[str] | None = None,
+        node_ids: DataFrame | None = None,
+    ) -> "Graph":
+        """Label/type/id-filtered graph handle — the
+        GraphStore.getGraph(nodeLabels, relTypes) analog
+        (/root/reference/api/src/main/java/org/neo4j/gds/api/
+        GraphStore.java:169-173; per-algorithm ``nodeLabels`` config
+        AlgoBaseConfig.java:46-57).
+
+        ``node_labels`` filters against the nodes DF's ``labels``
+        (array<string>) or ``label`` (string) column; a node is kept
+        when it carries ANY of the requested labels (the reference's
+        union-of-labels semantics). ``node_ids`` (DF with an `id`
+        column) covers the node-id filtered case. Edges keep only
+        rows with BOTH endpoints surviving — two semi-joins Catalyst
+        turns into broadcast joins whenever the kept set is small.
+        Everything stays lazy: a subgraph costs nothing until an
+        algorithm runs on it.
+        """
+        e = self.edges
+        if rel_types:
+            e = e.where(F.col("rel_type").isin(rel_types))
+        nodes = self.nodes
+        keep = node_ids.select("id") if node_ids is not None else None
+        if node_labels:
+            if nodes is None:
+                raise ValueError(
+                    "node_labels filter requires a nodes DF with a "
+                    "'labels' (array<string>) or 'label' (string) column"
+                )
+            if "labels" in nodes.columns:
+                pred = F.arrays_overlap(
+                    F.col("labels"),
+                    F.array(*[F.lit(l) for l in node_labels]),
+                )
+            elif "label" in nodes.columns:
+                pred = F.col("label").isin(node_labels)
+            else:
+                raise ValueError("nodes DF has neither 'labels' nor 'label'")
+            labeled = nodes.where(pred).select("id")
+            keep = labeled if keep is None else keep.join(labeled, "id", "left_semi")
+        if keep is not None:
+            e = e.join(
+                keep.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            nodes = (
+                nodes.join(keep, "id", "left_semi") if nodes is not None else keep
+            )
+        return Graph(
+            name=f"{self.name}__sub",
+            edges=e.select(*projection.EDGE_COLS)
+            if set(projection.EDGE_COLS) <= set(e.columns)
+            else e,
+            nodes=nodes,
+            directed=self.directed,
+        )
+
     def degrees(self) -> DataFrame:
         return projection.degrees(self.edges)
 

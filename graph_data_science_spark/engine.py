@@ -121,8 +121,23 @@ class GdsEngine:
     def _proc(self, graph, fn, value_column) -> ProcResult:
         return ProcResult(graph=graph, _compute=fn, value_column=value_column)
 
+    @staticmethod
+    def _filtered(graph: Graph, cfg: dict) -> Graph:
+        """Apply the per-call nodeLabels / relationshipTypes / node-id
+        filters every GDS algorithm config accepts
+        (AlgoBaseConfig.java:46-57) before the algorithm runs."""
+        node_labels = cfg.pop("node_labels", None)
+        rel_types = cfg.pop("rel_types", None)
+        node_ids = cfg.pop("node_ids", None)
+        if node_labels or rel_types or node_ids is not None:
+            graph = graph.subgraph(
+                node_labels=node_labels, rel_types=rel_types, node_ids=node_ids
+            )
+        return graph
+
     # -- centrality -------------------------------------------------------
     def pagerank(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.pagerank import PageRankConfig, pagerank
 
         def run():
@@ -135,6 +150,7 @@ class GdsEngine:
         return self._proc(graph, run, "score")
 
     def article_rank(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.pagerank import (
             PageRankConfig,
             article_rank,
@@ -150,6 +166,7 @@ class GdsEngine:
         return self._proc(graph, run, "score")
 
     def eigenvector(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.pagerank import (
             PageRankConfig,
             eigenvector,
@@ -165,6 +182,7 @@ class GdsEngine:
         return self._proc(graph, run, "score")
 
     def degree_centrality(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.degree import degree_centrality
 
         return self._proc(
@@ -172,6 +190,7 @@ class GdsEngine:
         )
 
     def closeness_centrality(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.msbfs import closeness_centrality
 
         return self._proc(
@@ -181,6 +200,7 @@ class GdsEngine:
         )
 
     def harmonic_centrality(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.msbfs import harmonic_centrality
 
         return self._proc(
@@ -190,12 +210,14 @@ class GdsEngine:
         )
 
     def hits(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.hits import hits
 
         return self._proc(graph, lambda: (hits(self.spark, graph, **cfg), {}), "auth")
 
     # -- community --------------------------------------------------------
     def wcc(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.wcc import WccConfig, wcc
 
         def run():
@@ -208,6 +230,7 @@ class GdsEngine:
         return self._proc(graph, run, "component")
 
     def label_propagation(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.labelprop import (
             LabelPropagationConfig,
             label_propagation,
@@ -225,6 +248,7 @@ class GdsEngine:
         return self._proc(graph, run, "label")
 
     def louvain(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.louvain import LouvainConfig, louvain
 
         def run():
@@ -238,11 +262,13 @@ class GdsEngine:
         return self._proc(graph, run, "community")
 
     def scc(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.scc import scc
 
         return self._proc(graph, lambda: (scc(self.spark, graph, **cfg), {}), "component")
 
     def k1coloring(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.k1coloring import k1coloring
 
         return self._proc(
@@ -250,6 +276,7 @@ class GdsEngine:
         )
 
     def triangle_count(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.triangle import triangle_count
 
         def run():
@@ -259,6 +286,7 @@ class GdsEngine:
         return self._proc(graph, run, "triangles")
 
     def local_clustering_coefficient(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.triangle import (
             local_clustering_coefficient,
         )
@@ -271,6 +299,7 @@ class GdsEngine:
 
     # -- similarity / embeddings ------------------------------------------
     def node_similarity(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.similarity import (
             NodeSimilarityConfig,
             node_similarity,
@@ -286,6 +315,7 @@ class GdsEngine:
         )
 
     def fastrp(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.fastrp import fastrp
 
         return self._proc(

@@ -138,6 +138,19 @@ def events_edges(events: DataFrame, include_invokes: bool = True) -> DataFrame:
     return reply.unionByName(invokes)
 
 
+def event_node_labels(events: DataFrame) -> DataFrame:
+    """(id, labels array<string>) — 'Turn' for turn vertices, 'Tool'
+    for tool vertices (the nodeLabels dimension of the projected
+    graph; reference analog: NodeLabel projections in
+    GraphCreateProc.java:70-99 / AlgoBaseConfig.nodeLabels)."""
+    t = event_turns(events).select("vid")
+    turns = t.select(F.col("vid").alias("id"), F.array(F.lit("Turn")).alias("labels"))
+    tools = tool_vertices(events).select(
+        F.col("tool_vid").alias("id"), F.array(F.lit("Tool")).alias("labels")
+    )
+    return turns.unionByName(tools)
+
+
 def events_graph(
     spark: SparkSession,
     sf_dir: str,
@@ -145,15 +158,20 @@ def events_graph(
     rel_types: list[str] | None = None,
     orientation: str = "NATURAL",
     persist: bool = True,
+    with_labels: bool = False,
 ) -> Graph:
     """Catalog-style graph handle over the event-derived link graph."""
     from graph_data_science_spark import projection
 
-    edges = events_edges(load_table(spark, sf_dir, "events"))
+    ev_df = load_table(spark, sf_dir, "events")
+    edges = events_edges(ev_df)
     if rel_types:
         edges = edges.where(F.col("rel_type").isin(rel_types))
     edges = projection.orient(edges, orientation)
-    g = Graph(name=name, edges=edges, directed=orientation != "UNDIRECTED")
+    nodes = event_node_labels(ev_df) if with_labels else None
+    g = Graph(
+        name=name, edges=edges, nodes=nodes, directed=orientation != "UNDIRECTED"
+    )
     if persist:
         g.persist()
     return g
