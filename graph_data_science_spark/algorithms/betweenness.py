@@ -29,15 +29,42 @@ from graph_data_science_spark import projection
 from graph_data_science_spark.catalog import Graph
 
 
+#: above this vertex count, all-pairs sweeps auto-sample their
+#: sources unless all_pairs=True is passed explicitly — exact Brandes
+#: is O(n*m) work with an O(n^2)-row visited set, a cluster-melting
+#: default at web scale (the reference's own SelectionStrategy.java
+#: RANDOM_DEGREE sampling exists for the same reason)
+AUTO_SAMPLE_THRESHOLD = 10_000
+
+
+def auto_sample_size(
+    n: int, sampling_size: int | None, all_pairs: bool, algo: str
+) -> int | None:
+    """Shared all-pairs guard: None = run exact; otherwise the sample
+    size to use. Exact above AUTO_SAMPLE_THRESHOLD requires an
+    explicit ``all_pairs=True`` opt-in."""
+    if sampling_size is not None:
+        return sampling_size if sampling_size < n else None
+    if all_pairs or n <= AUTO_SAMPLE_THRESHOLD:
+        return None
+    print(
+        f"{algo}: auto-sampling {AUTO_SAMPLE_THRESHOLD} of {n} sources "
+        "(pass all_pairs=True to force the exact O(n*m) sweep)"
+    )
+    return AUTO_SAMPLE_THRESHOLD
+
+
 def betweenness(
     spark: SparkSession,
     graph: Graph,
     sampling_size: int | None = None,
     sampling_seed: int = 42,
     directed: bool = True,
+    all_pairs: bool = False,
 ) -> DataFrame:
-    """(id, score) — exact when sampling_size is None, else the
-    RANDOM sampled estimate scaled by n/samples."""
+    """(id, score) — exact when all sources run, else the RANDOM
+    sampled estimate scaled by n/samples. Above AUTO_SAMPLE_THRESHOLD
+    vertices the sweep auto-samples unless ``all_pairs=True``."""
     edges = graph.view().select("src", "dst").dropDuplicates(["src", "dst"])
     if not directed:
         edges = projection.orient(edges, "UNDIRECTED").dropDuplicates(["src", "dst"])
@@ -45,6 +72,7 @@ def betweenness(
     verts = graph.vertices()
     n = verts.count()
 
+    sampling_size = auto_sample_size(n, sampling_size, all_pairs, "betweenness")
     if sampling_size is not None and sampling_size < n:
         # deterministic sample: smallest hash values win
         sources = (

@@ -79,11 +79,37 @@ def bfs_distances(
     return visited
 
 
+def _auto_sources(
+    graph: Graph, sources: DataFrame | None, all_pairs: bool, seed: int, algo: str
+) -> tuple[DataFrame | None, float]:
+    """All-pairs guard for the MSBFS centralities: returns (sources,
+    scale) where scale extrapolates sampled sums to the full source
+    set (the SelectionStrategy.java analog)."""
+    from graph_data_science_spark.algorithms.betweenness import auto_sample_size
+
+    if sources is not None:
+        return sources, 1.0
+    n = graph.node_count()
+    size = auto_sample_size(n, None, all_pairs, algo)
+    if size is None:
+        return None, 1.0
+    verts = graph.vertices()
+    sampled = (
+        verts.withColumn("_h", F.xxhash64("id", F.lit(seed)))
+        .orderBy("_h")
+        .limit(size)
+        .select("id")
+    )
+    return sampled, n / size
+
+
 def closeness_centrality(
     spark: SparkSession,
     graph: Graph,
     wasserman_faust: bool = False,
     sources: DataFrame | None = None,
+    all_pairs: bool = False,
+    sampling_seed: int = 42,
 ) -> DataFrame:
     """(id, centrality) — MSClosenessCentrality.java:153-163 formula.
 
@@ -91,8 +117,12 @@ def closeness_centrality(
     #nodes v reaches (on the undirected view both equal per-vertex
     totals). Score: component/farness; Wasserman-Faust multiplies by
     component/(n-1). 0 when farness is 0 (isolated vertex).
+    Above AUTO_SAMPLE_THRESHOLD vertices the sweep auto-samples its
+    sources unless ``all_pairs=True`` (the reach/farness ratio is
+    self-normalizing, so no scale factor applies).
     """
     n = graph.node_count()
+    sources, _ = _auto_sources(graph, sources, all_pairs, sampling_seed, "closeness")
     dist = bfs_distances(spark, graph, sources=sources)
     agg = (
         dist.where(F.col("dist") > 0)
@@ -123,10 +153,15 @@ def harmonic_centrality(
     spark: SparkSession,
     graph: Graph,
     sources: DataFrame | None = None,
+    all_pairs: bool = False,
+    sampling_seed: int = 42,
 ) -> DataFrame:
     """(id, centrality) = (sum over u of 1/d(u,v)) / (n-1)
-    (HarmonicCentrality.java:61-92)."""
+    (HarmonicCentrality.java:61-92). Above AUTO_SAMPLE_THRESHOLD
+    vertices the sweep auto-samples its sources unless
+    ``all_pairs=True``; sampled sums extrapolate by n/samples."""
     n = graph.node_count()
+    sources, scale = _auto_sources(graph, sources, all_pairs, sampling_seed, "harmonic")
     dist = bfs_distances(spark, graph, sources=sources)
     agg = (
         dist.where(F.col("dist") > 0)
@@ -138,9 +173,11 @@ def harmonic_centrality(
         .join(agg, "id", "left")
         .select(
             "id",
-            (F.coalesce(F.col("inv_farness"), F.lit(0.0)) / F.lit(float(n - 1))).alias(
-                "centrality"
-            ),
+            (
+                F.coalesce(F.col("inv_farness"), F.lit(0.0))
+                * F.lit(scale)
+                / F.lit(float(n - 1))
+            ).alias("centrality"),
         )
     )
 
