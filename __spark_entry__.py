@@ -480,14 +480,29 @@ def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(emb, emb, k=5)
 
 
+ANN_DIM = 64
+ANN_LSH_PLANES = 8
+ANN_LSH_TABLES = 2
+ANN_SEED = 42
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LCG-hyperplane LSH — value-exact oracle: the
+    closed-form plane weights and bucket assignment are reproduced in
+    SQL (pipeline.ann.lcg_plane)."""
     emb = ev.load_table(spark, sf_dir, "embeddings")
-    return ann.lsh_topk(emb, emb, dim=64, k=5)
+    return ann.lsh_topk(
+        emb, emb, dim=ANN_DIM, k=5, n_planes=ANN_LSH_PLANES,
+        n_tables=ANN_LSH_TABLES, seed=ANN_SEED,
+    )
 
 
 def _q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ev.load_table(spark, sf_dir, "embeddings")
-    return ann.cosine_near_duplicates(emb, dim=64, threshold=0.4)
+    return ann.cosine_near_duplicates(
+        emb, dim=ANN_DIM, threshold=0.4, n_planes=ANN_LSH_PLANES,
+        n_tables=ANN_LSH_TABLES, seed=ANN_SEED,
+    )
 
 
 def _q_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,6 +709,30 @@ def _fastrp_sql(
     )
 
 
+def _lsh_sig_ctes() -> str:
+    """CTEs e/tbls/sig reproducing pipeline.ann's multi-table LCG
+    hyperplane signatures in DuckDB (weights are exact doubles from
+    integer arithmetic, so bucket ids match Spark bit-for-bit)."""
+    terms = []
+    for p in range(ANN_LSH_PLANES):
+        h1 = f"((({p} * {ANN_DIM} + i - 1) * 2654435761 + sd) % 2147483648)"
+        h2 = f"(({h1} * 1103515245 + 12345) % 2147483648)"
+        w = f"(2.0 * {h2} / 2147483648.0 - 1.0)"
+        dot = f"list_sum(list_transform(range(1, {ANN_DIM} + 1), i -> v[i] * {w}))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    tbl_list = ", ".join(str(t) for t in range(ANN_LSH_TABLES))
+    return f"""
+e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+tbls AS (SELECT UNNEST([{tbl_list}]) AS tbl),
+sig AS MATERIALIZED (
+  SELECT vec_id, tbl, {bucket} AS bucket
+  FROM (SELECT e.vec_id, e.v, t.tbl, {ANN_SEED} + 1000003 * t.tbl AS sd
+        FROM e CROSS JOIN tbls t) s
+)
+"""
+
+
 def _user_tool_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return Graph(
         name="user_tools",
@@ -863,6 +902,42 @@ def _q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed=False,
     )
     return fastrp_exact(spark, g, embedding_dim=FASTRP_DIM)
+
+
+N2V_DIM = 8
+
+
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle: trained-embedding values are SGD-order
+    artifacts, but a correct run embeds EVERY vertex (all vertices
+    start walks, minCount=0), at the configured dimension, with
+    finite values — SQL-predictable facts. Embedding quality and
+    determinism are pinned by tests/test_node2vec_kspan.py."""
+    from graph_data_science_spark import projection
+    from graph_data_science_spark.algorithms.node2vec import node2vec
+
+    e = ev.user_tool_edges(ev.load_table(spark, sf_dir, "events"))
+    g = Graph(
+        name="user_tools_und",
+        edges=projection.orient(e, "UNDIRECTED"),
+        directed=False,
+    )
+    emb = node2vec(
+        spark, g, embedding_dim=N2V_DIM, walk_length=10, walks_per_node=3,
+        window_size=4, iterations=1,
+    )
+    bad = emb.select(
+        F.size(
+            F.filter("embedding", lambda x: F.isnan(x) | (F.abs(x) > 1e6))
+        ).alias("_b"),
+        F.size("embedding").alias("_d"),
+    )
+    return bad.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("_b").alias("n_nonfinite"),
+        F.min("_d").alias("min_dim"),
+        F.max("_d").alias("max_dim"),
+    )
 
 
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "sllpa": _q_sllpa,
         "random_walks": _q_random_walks,
+        "node2vec": _q_node2vec,
     }
 
 
@@ -1437,6 +1513,46 @@ SELECT ROUND((SELECT v FROM internal) / (SELECT v FROM m2)
        - (SELECT v FROM tots) / ((SELECT v FROM m2) * (SELECT v FROM m2)),
        6) AS modularity
 """,
+        "ann_lsh_topk": f"""
+WITH {_lsh_sig_ctes().strip()},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(n.v, n.v))) AS cos
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+           AS rank
+  FROM scored
+) x WHERE rank <= 5
+""",
+        "cosine_near_duplicates": f"""
+WITH {_lsh_sig_ctes().strip()},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(list_dot_product(x.v, y.v)
+           / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))), 6)
+           AS cosine
+  FROM cand c
+  JOIN e x ON x.vec_id = c.id_a
+  JOIN e y ON y.vec_id = c.id_b
+) s WHERE cosine >= 0.4
+""",
         "wcc_full": _wcc_full_sql(),
         "fastrp": _fastrp_sql(FASTRP_DIM),
         "k1coloring": f"""
@@ -1477,6 +1593,13 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        CAST(0 AS BIGINT) AS n_bad_labels,
        CAST(0 AS BIGINT) AS n_unassigned,
        TRUE AS modularity_ge_singleton
+""",
+        "node2vec": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT (SELECT COUNT(*) FROM utverts) AS n_nodes,
+       CAST(0 AS BIGINT) AS n_nonfinite,
+       CAST({N2V_DIM} AS INTEGER) AS min_dim,
+       CAST({N2V_DIM} AS INTEGER) AS max_dim
 """,
         "simhash": rf"""
 WITH t AS (

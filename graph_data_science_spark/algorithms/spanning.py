@@ -115,3 +115,67 @@ def minimum_spanning_forest(
     if forest is None:
         return spark.createDataFrame([], "src long, dst long, weight double")
     return forest.localCheckpoint(eager=True)
+
+
+def k_spanning_tree(
+    spark: SparkSession,
+    graph: Graph,
+    k: int,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(id, component) — partition into >= k trees by cutting the
+    k-1 globally heaviest MSF edges.
+
+    Reference: /root/reference/alpha/alpha-algo/src/main/java/org/
+    neo4j/gds/impl/spanningTrees/KSpanningTree.java (Prim tree, then
+    prune the k-1 most expensive edges). On a disconnected graph the
+    cut is applied to the whole forest, yielding (#components + k - 1)
+    trees. Deterministic tie-break (weight desc, src, dst); the cut
+    itself is a distributed top-(k-1) — no global sort materializes.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    forest = minimum_spanning_forest(spark, graph, max_rounds).persist()
+    cut = (
+        forest.orderBy(F.desc("weight"), F.asc("src"), F.asc("dst"))
+        .limit(k - 1)
+        .select("src", "dst")
+    )
+    kept = forest.join(cut, ["src", "dst"], "left_anti")
+    und = kept.select("src", "dst").unionByName(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = projection.vertices(graph.edges).select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint(eager=True)
+    # min-label to fixpoint over the kept forest (trees are tiny
+    # diameter after the comp-of-comp shortcut)
+    while True:
+        msgs = (
+            comp.join(und, comp.id == und.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("_m"))
+        )
+        nxt = comp.join(msgs, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("_m"), F.col("comp"))).alias("comp"),
+            F.col("comp").alias("_old"),
+        )
+        lbl = nxt.select(F.col("id").alias("_l"), F.col("comp").alias("_lc"))
+        nxt = (
+            nxt.join(lbl, nxt.comp == lbl._l, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("_lc"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                "_old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = nxt.where(F.col("comp") < F.col("_old")).isEmpty()
+        comp = nxt.drop("_old")
+        if done:
+            break
+    forest.unpersist()
+    return comp.select("id", F.col("comp").alias("component"))

@@ -43,19 +43,73 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine_topk(
+def _sum(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot(a,b)/(||a||*||b||) — left-to-right float64 fold."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def pearson_similarity(a: Column, b: Column) -> Column:
+    """Pearson correlation of two vector columns
+    (alpha similarity fn parity: /root/reference/alpha/alpha-algo/src/
+    main/java/org/neo4j/gds/impl/similarity/ Pearson kernels) —
+    (n*Σab - Σa*Σb) / (sqrt(n*Σa² - (Σa)²) * sqrt(n*Σb² - (Σb)²))."""
+    n = F.size(a).cast("double")
+    sa, sb = _sum(a), _sum(b)
+    sab = _dot(a, b)
+    saa, sbb = _dot(a, a), _dot(b, b)
+    return (n * sab - sa * sb) / (
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+    )
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def euclidean_similarity(a: Column, b: Column) -> Column:
+    """1 / (1 + distance) — the reference's distance->similarity map
+    (alpha similarity fns)."""
+    return 1.0 / (1.0 + euclidean_distance(a, b))
+
+
+_METRICS = {
+    "cosine": cosine_similarity,
+    "pearson": pearson_similarity,
+    "euclidean": euclidean_similarity,
+}
+
+
+def similarity_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
+    out_col: str = "similarity",
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine, rank) — exact brute force.
+    """(query_id, neighbor_id, <out_col>, rank) — exact brute force
+    under any of the metric kernels (cosine / pearson / euclidean,
+    the reference's alpha similarity functions).
 
     Ties broken by ascending neighbor id (explicit for parity).
     The corpus side is broadcast when small; for corpus >> memory use
     `lsh_topk` instead.
     """
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {sorted(_METRICS)}, got {metric!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -63,25 +117,50 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     pairs = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
-    sim = _dot(F.col("_qv"), F.col("_cv")) / (
-        _norm(F.col("_qv")) * _norm(F.col("_cv"))
-    )
+    sim = _METRICS[metric](F.col("_qv"), F.col("_cv"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+        F.desc(out_col), F.asc("neighbor_id")
     )
     return (
-        pairs.withColumn("cosine", sim)
+        pairs.withColumn(out_col, sim)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
+            F.round(out_col, 6).alias(out_col),
             "rank",
         )
     )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact brute force."""
+    return similarity_topk(
+        corpus, queries, k, id_col, vec_col, metric="cosine", out_col="cosine"
+    )
+
+
+def lcg_plane(plane: int, dim: int, seed: int = 42) -> list[float]:
+    """Deterministic hyperplane weights in [-1, 1) from the same
+    two-round 2^31 LCG as algorithms.fastrp.fastrp_exact — pure
+    integer arithmetic, so an ANSI-SQL oracle reproduces every weight
+    (and therefore every bucket assignment) bit-for-bit."""
+    out = []
+    for d in range(dim):
+        k = plane * dim + d
+        h1 = (k * 2654435761 + seed) % 2**31
+        h2 = (h1 * 1103515245 + 12345) % 2**31
+        out.append(2.0 * h2 / 2**31 - 1.0)
+    return out
 
 
 def hyperplane_signatures(
@@ -91,9 +170,28 @@ def hyperplane_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lcg",
 ) -> DataFrame:
     """(vec_id, bucket int) — sign pattern against n deterministic
-    random hyperplanes (seeded numpy, Arrow-batched kernel)."""
+    random hyperplanes.
+
+    method='lcg' (default): closed-form LCG weights evaluated as pure
+    JVM column folds — identical left-to-right float64 accumulation
+    as a SQL oracle's list_sum, so signatures are value-exact across
+    engines. method='numpy': seeded-gaussian planes in an
+    Arrow-batched kernel (kept for wide-dim throughput comparisons;
+    not SQL-reproducible).
+    """
+    if method == "lcg":
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            w = F.array(*[F.lit(x) for x in lcg_plane(p, dim, seed)])
+            bucket = bucket + F.when(
+                _dot(F.col(vec_col), w) > 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        return df.select(
+            F.col(id_col).alias("vec_id"), bucket.cast("int").alias("bucket")
+        )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
 
@@ -110,28 +208,67 @@ def hyperplane_signatures(
     return df.select(id_col, vec_col).mapInPandas(batch, "vec_id long, bucket int")
 
 
+def _table_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    method: str,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, table, bucket) — one signature per hash table, each
+    table seeded independently (multi-table LSH: a pair missed by one
+    table's buckets gets another chance in the next — the standard
+    recall-vs-cost knob alongside n_planes)."""
+    sigs = None
+    for t in range(n_tables):
+        s = hyperplane_signatures(
+            df, dim, n_planes, seed + 1_000_003 * t, id_col, vec_col, method
+        ).select(
+            F.col("vec_id").alias(out_id),
+            F.lit(t).alias("table"),
+            "bucket",
+        )
+        sigs = s if sigs is None else sigs.unionByName(s)
+    return sigs
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lcg",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket; per-bucket exact cosine + window top-k. Recall rises with
-    fewer planes (bigger buckets) — the classic knob."""
-    csig = hyperplane_signatures(corpus, dim, n_planes, seed, id_col, vec_col)
-    qsig = hyperplane_signatures(queries, dim, n_planes, seed, id_col, vec_col)
+    bucket(s); per-bucket exact cosine + window top-k. Recall rises
+    with fewer planes (bigger buckets) or more tables (independent
+    chances) — the classic knobs."""
+    csig = _table_signatures(
+        corpus, dim, n_planes, n_tables, seed, id_col, vec_col, method, "neighbor_id"
+    )
+    qsig = _table_signatures(
+        queries, dim, n_planes, n_tables, seed, id_col, vec_col, method, "query_id"
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).join(csig.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "neighbor_id")
+    ).join(csig, "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).join(qsig.select(F.col("vec_id").alias("query_id"), "bucket"), "query_id")
-    pairs = q.join(c, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    ).join(qsig, "query_id")
+    pairs = (
+        q.join(c, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     sim = _dot(F.col("_qv"), F.col("_cv")) / (
         _norm(F.col("_qv")) * _norm(F.col("_cv"))
     )
@@ -151,22 +288,27 @@ def cosine_near_duplicates(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lcg",
 ) -> DataFrame:
     """(id_a, id_b, cosine) — near-dup pairs above threshold, LSH-blocked."""
-    sig = hyperplane_signatures(df, dim, n_planes, seed, id_col, vec_col)
-    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).join(
-        sig.select(F.col("vec_id").alias("_id"), "bucket"), "_id"
+    sig = _table_signatures(
+        df, dim, n_planes, n_tables, seed, id_col, vec_col, method, "_id"
     )
-    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "bucket")
-    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).join(sig, "_id")
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "table", "bucket")
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "table", "bucket")
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
     return (
         pairs.withColumn("cosine", F.round(sim, 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
