@@ -904,6 +904,38 @@ def _q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fastrp_exact(spark, g, embedding_dim=FASTRP_DIM)
 
 
+YENS_K = 3
+
+
+def _q_yens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yen's K-shortest on the undirected user-tool graph between the
+    min and max user ids. Invariant oracle: the cheapest path's cost
+    equals the BFS hop distance (SQL-computable), costs are
+    non-decreasing, and paths are loopless."""
+    from graph_data_science_spark import projection
+    from graph_data_science_spark.algorithms.paths import yens
+
+    ev_df = ev.load_table(spark, sf_dir, "events")
+    lo, hi = ev_df.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    e = ev.user_tool_edges(ev_df)
+    g = Graph(name="user_tools", edges=e)
+    paths = yens(
+        spark, g, source=int(lo), target=int(hi), k=YENS_K,
+        weighted=False, directed=False,
+    )
+    costs = [c for c, _ in paths]
+    loopless = all(len(p) == len(set(p)) for _, p in paths)
+    return spark.createDataFrame(
+        [(
+            len(paths),
+            float(costs[0]) if costs else -1.0,
+            bool(all(a <= b for a, b in zip(costs, costs[1:]))),
+            bool(loopless),
+        )],
+        "n_paths int, cost1 double, costs_nondecreasing boolean, paths_loopless boolean",
+    )
+
+
 N2V_DIM = 8
 
 
@@ -1151,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sllpa": _q_sllpa,
         "random_walks": _q_random_walks,
         "node2vec": _q_node2vec,
+        "yens": _q_yens,
     }
 
 
@@ -1593,6 +1626,21 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        CAST(0 AS BIGINT) AS n_bad_labels,
        CAST(0 AS BIGINT) AS n_unassigned,
        TRUE AS modularity_ge_singleton
+""",
+        "yens": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+ends AS MATERIALIZED (
+  SELECT MIN(user_id) AS lo, MAX(user_id) AS hi FROM events
+),
+seed AS MATERIALIZED (
+  SELECT lo AS source, lo AS id, 0 AS dist FROM ends
+),
+{_bfs_dist_ctes("utu", "seed", BFS_LEVELS)}
+SELECT CAST({YENS_K} AS INTEGER) AS n_paths,
+       CAST(d.dist AS DOUBLE) AS cost1,
+       TRUE AS costs_nondecreasing,
+       TRUE AS paths_loopless
+FROM d{BFS_LEVELS} d WHERE d.id = (SELECT hi FROM ends)
 """,
         "node2vec": f"""
 WITH {USER_TOOL_PRELUDE.strip()}

@@ -94,6 +94,204 @@ def sssp(
     return state
 
 
+def astar(
+    spark: SparkSession,
+    graph: Graph,
+    source: int,
+    target: int,
+    heuristic: DataFrame,
+    weighted: bool = True,
+    directed: bool = True,
+    max_iterations: int = 10_000,
+) -> tuple[float | None, list[int]]:
+    """(total_cost, [source..target]) — A* shortest path.
+
+    Reference: /root/reference/algo/src/main/java/org/neo4j/gds/paths/
+    astar/AStar.java (Dijkstra + admissible per-node heuristic; the
+    reference derives it from haversine over lat/lon properties —
+    here ``heuristic`` is any DF (id, h) of admissible lower bounds,
+    which is the same thing one join earlier).
+
+    Distributed realization: frontier relaxation like :func:`sssp`,
+    with the A* pruning rule applied per round — a frontier entry
+    whose f = dist + h(v) cannot beat the best known target distance
+    is dropped. With an admissible heuristic the final (cost, path)
+    equals Dijkstra's; the heuristic only shrinks the explored
+    frontier (visit ORDER differs from the reference's sequential
+    priority queue; outputs match).
+    """
+    edges = graph.view(weight_property=weighted)
+    if not directed:
+        edges = projection.orient(edges, "UNDIRECTED")
+    edges = edges.persist()
+    h = heuristic.select("id", F.col(heuristic.columns[1]).alias("_h"))
+
+    state = spark.createDataFrame(
+        [(int(source), 0.0, None)], "id long, distance double, predecessor long"
+    ).localCheckpoint(eager=True)
+    frontier = state
+    best_target = None
+
+    for _ in range(max_iterations):
+        relax = frontier.join(edges, frontier.id == edges.src).select(
+            F.col("dst").alias("id"),
+            (F.col("distance") + F.col("weight")).alias("_nd"),
+            F.col("src").alias("_pred"),
+        )
+        best = relax.groupBy("id").agg(F.min("_nd").alias("_best"))
+        best = (
+            relax.join(best, "id")
+            .where(F.col("_nd") == F.col("_best"))
+            .groupBy("id")
+            .agg(F.min("_nd").alias("_nd"), F.min("_pred").alias("_pred"))
+        )
+        improved = (
+            state.join(best, "id", "full")
+            .where(F.col("distance").isNull() | (F.col("_nd") < F.col("distance")))
+            .select(
+                "id",
+                F.col("_nd").alias("distance"),
+                F.col("_pred").alias("predecessor"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        tgt = state.where(F.col("id") == target).collect()
+        if tgt:
+            best_target = tgt[0]["distance"]
+        frontier = improved
+        if best_target is not None:
+            # A* prune: f(v) = g(v) + h(v) >= best known target cost
+            # can never improve the target
+            frontier = frontier.join(h, "id", "left").where(
+                F.col("distance") + F.coalesce(F.col("_h"), F.lit(0.0))
+                < F.lit(best_target)
+            ).drop("_h")
+    edges.unpersist()
+
+    rows = {
+        r["id"]: (r["distance"], r["predecessor"])
+        for r in state.where(
+            F.col("id").isin([int(source), int(target)])
+        ).collect()
+    }
+    if target not in rows:
+        return None, []
+    # backtrack via single-row lookups (state is checkpointed)
+    path = [int(target)]
+    cur = rows[target][1]
+    st = state.persist()
+    while cur is not None and path[-1] != source:
+        path.append(int(cur))
+        r = st.where(F.col("id") == int(cur)).collect()
+        cur = r[0]["predecessor"] if r else None
+    st.unpersist()
+    path.reverse()
+    return rows[target][0], path
+
+
+def yens(
+    spark: SparkSession,
+    graph: Graph,
+    source: int,
+    target: int,
+    k: int,
+    weighted: bool = True,
+    directed: bool = True,
+) -> list[tuple[float, list[int]]]:
+    """K shortest LOOPLESS paths, ascending cost — Yen's algorithm.
+
+    Reference: /root/reference/algo/src/main/java/org/neo4j/gds/paths/
+    yens/Yens.java (spur-node loop over masked-relationship Dijkstra
+    runs). Same structure here: a driver loop of O(k * path-length)
+    masked :func:`shortest_path` fixpoints — each inner run is the
+    engine's distributed relaxation, the outer loop is inherently
+    sequential (as in the reference). Ties break deterministically by
+    (cost, path lexicographically).
+    """
+    first = shortest_path(spark, graph, source, target, weighted, directed)
+    if first[0] is None:
+        return []
+    a_paths: list[tuple[float, list[int]]] = [first]
+    candidates: list[tuple[float, list[int]]] = []
+
+    for _ in range(1, k):
+        prev_cost, prev_path = a_paths[-1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            # mask: edges used by any accepted path sharing this root,
+            # and all root nodes except the spur
+            masked_edges = {
+                (p[i], p[i + 1])
+                for _, p in a_paths
+                if len(p) > i + 1 and p[: i + 1] == root
+            }
+            masked_nodes = set(root[:-1])
+            e = graph.edges
+            for u, v in masked_edges:
+                cond = (F.col("src") == u) & (F.col("dst") == v)
+                if not directed:
+                    cond = cond | ((F.col("src") == v) & (F.col("dst") == u))
+                e = e.where(~cond)
+            if masked_nodes:
+                nodes = [int(x) for x in masked_nodes]
+                e = e.where(
+                    ~F.col("src").isin(nodes) & ~F.col("dst").isin(nodes)
+                )
+            sub = Graph(name=f"{graph.name}__yen", edges=e, directed=graph.directed)
+            spur_cost, spur_path = shortest_path(
+                spark, sub, spur, target, weighted, directed
+            )
+            if spur_cost is None:
+                continue
+            total = spur_path if i == 0 else root[:-1] + spur_path
+            root_cost = 0.0
+            if i > 0:
+                # cost of the root prefix along prev_path
+                pairs = list(zip(prev_path[:i], prev_path[1:i + 1]))
+                wsum = _path_cost(graph, pairs, weighted, directed)
+                root_cost = wsum
+            cand = (root_cost + spur_cost, total)
+            if cand not in candidates and cand not in a_paths:
+                candidates.append(cand)
+        if not candidates:
+            break
+        candidates.sort(key=lambda cp: (cp[0], cp[1]))
+        a_paths.append(candidates.pop(0))
+    return a_paths
+
+
+def _path_cost(
+    graph: Graph, pairs: list[tuple[int, int]], weighted: bool, directed: bool
+) -> float:
+    """Sum of edge weights along explicit (u, v) hops (min-weight
+    parallel edge, either direction when undirected)."""
+    if not weighted:
+        return float(len(pairs))
+    edges = graph.view(weight_property=True)
+    if not directed:
+        edges = projection.orient(edges, "UNDIRECTED")
+    cond = None
+    for u, v in pairs:
+        c = (F.col("src") == u) & (F.col("dst") == v)
+        cond = c if cond is None else (cond | c)
+    rows = (
+        edges.where(cond)
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("w"))
+        .collect()
+    )
+    wmap = {(r["src"], r["dst"]): r["w"] for r in rows}
+    return float(sum(wmap[(u, v)] for u, v in pairs))
+
+
 def shortest_path(
     spark: SparkSession,
     graph: Graph,
