@@ -127,8 +127,15 @@ class PregelComputation:
     only the active frontier; ``step`` must set ``_halted``.
     """
 
-    #: name of the reducer combining concurrent messages to a vertex
+    #: name of the reducer combining concurrent messages to a vertex;
+    #: "queue" delivers a bounded multiset inbox instead of a scalar
+    #: (the SyncQueueMessenger analog) — see PregelRunner._queue_reduce
     reducer: str = "sum"
+
+    #: queue reducer only: max inbox entries per vertex (bounded hub
+    #: fan-in — a 10^7-degree hub never materializes an unbounded
+    #: collect_list array)
+    queue_size: int = 64
 
     #: True for algorithms whose vote is over the FULL neighborhood
     #: (e.g. label propagation's argmax) — frontier-only sends would
@@ -231,6 +238,30 @@ class PregelRunner:
         return self.spark.read.parquet(f"{self._ckpt_path(superstep)}/state")
 
     # -- message reduction ------------------------------------------------
+    def _queue_reduce(self, messages: DataFrame, queue_size: int) -> DataFrame:
+        """Bounded multiset inbox — the SyncQueueMessenger analog
+        (/root/reference/pregel/src/main/java/org/neo4j/gds/beta/
+        pregel/SyncQueueMessenger.java), made hub-safe: messages are
+        pre-aggregated to (dst, msg, count), ranked deterministically
+        (count desc, msg asc) and truncated to `queue_size` BEFORE the
+        array materializes, so a hub's inbox is O(queue_size) — never
+        an unbounded collect_list. step() receives
+        (id, msg array<struct<msg, n>>), highest-multiplicity first.
+        """
+        from pyspark.sql import Window
+
+        counts = messages.groupBy("dst", "msg").agg(F.count(F.lit(1)).alias("_n"))
+        w = Window.partitionBy("dst").orderBy(F.desc("_n"), F.asc("msg"))
+        top = counts.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= queue_size
+        )
+        return top.groupBy("dst").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rk", "msg", "_n"))),
+                lambda s: F.struct(s["msg"].alias("msg"), s["_n"].alias("n")),
+            ).alias("msg")
+        )
+
     def _reduce(self, messages: DataFrame, reducer: str) -> DataFrame:
         """groupBy(dst).agg(reduce) — optionally via explicit salting.
 
@@ -317,6 +348,10 @@ class PregelRunner:
             custom_reduce = getattr(computation, "reduce_messages", None)
             if custom_reduce is not None:
                 inbox = custom_reduce(messages).withColumnRenamed("dst", "id")
+            elif computation.reducer == "queue":
+                inbox = self._queue_reduce(
+                    messages, computation.queue_size
+                ).withColumnRenamed("dst", "id")
             else:
                 inbox = self._reduce(messages, computation.reducer).withColumnRenamed(
                     "dst", "id"

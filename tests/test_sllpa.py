@@ -32,3 +32,25 @@ def test_sllpa_single_clique_converges_to_one(spark):
     res = sllpa(spark, g, max_iterations=20, min_association=0.5)
     comms = {r["community"] for r in res.collect()}
     assert len(comms) == 1
+
+
+def test_sllpa_queue_messenger_matches_loop(spark):
+    # the Pregel queue-messenger realization and the standalone loop
+    # must produce IDENTICAL memberships (VERDICT r1 item 9)
+    from graph_data_science_spark.algorithms.sllpa import sllpa_loop
+    from graph_data_science_spark.catalog import GraphCatalog
+    from tests.conftest import edge_df
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges += [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    edges += [(3, 10), (2, 11)]
+    g = GraphCatalog().create("sllpa_eq", edge_df(spark, edges))
+    a = {
+        (r["id"], r["community"])
+        for r in sllpa(spark, g, max_iterations=9, min_association=0.2).collect()
+    }
+    b = {
+        (r["id"], r["community"])
+        for r in sllpa_loop(spark, g, max_iterations=9, min_association=0.2).collect()
+    }
+    assert a == b and len(a) > 0
