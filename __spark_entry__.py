@@ -904,6 +904,24 @@ def _q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fastrp_exact(spark, g, embedding_dim=FASTRP_DIM)
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC on the SYMMETRIZED user-tool graph: every edge is a
+    2-cycle, so SCCs coincide with connected components and the
+    min-id-in-SCC convention is checkable by the same min-label SQL
+    unroll as WCC. The DAG/chain regimes (trim-pathological in r1)
+    are pinned by tests/test_algorithms2.py."""
+    from graph_data_science_spark import projection
+    from graph_data_science_spark.algorithms.scc import scc
+
+    e = ev.user_tool_edges(ev.load_table(spark, sf_dir, "events"))
+    g = Graph(
+        name="user_tools_sym",
+        edges=projection.orient(e, "UNDIRECTED"),
+        directed=True,  # both directions materialized explicitly
+    )
+    return scc(spark, g)
+
+
 YENS_K = 3
 
 
@@ -1184,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "node2vec": _q_node2vec,
         "yens": _q_yens,
+        "scc": _q_scc,
     }
 
 
@@ -1626,6 +1645,11 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        CAST(0 AS BIGINT) AS n_bad_labels,
        CAST(0 AS BIGINT) AS n_unassigned,
        TRUE AS modularity_ge_singleton
+""",
+        "scc": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+{_min_label_ctes("utverts", "utu", WCC_ROUNDS)}
+SELECT id, lbl AS component FROM lab{WCC_ROUNDS}
 """,
         "yens": f"""
 WITH {USER_TOOL_PRELUDE.strip()},

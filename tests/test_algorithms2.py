@@ -198,3 +198,19 @@ def test_split_relationships(spark):
     # deterministic across calls
     again = split_relationships(spark, g, holdout_fraction=0.25, seed=7)
     assert again["test"].count() == n_test
+
+
+def test_scc_long_chain_logarithmic_rounds(spark, catalog):
+    # the r1 trim loop needed O(n) rounds on a chain (VERDICT item 10);
+    # the recursive FW-BW rewrite must finish a 200-chain within a
+    # logarithmic round budget
+    from graph_data_science_spark.algorithms.scc import scc
+
+    n = 200
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edges += [(n + 1, n + 2), (n + 2, n + 3), (n + 3, n + 1)]  # one 3-cycle
+    edges += [(n - 1, n + 1)]
+    g = catalog.create("scc_chain", edge_df(spark, edges))
+    got = {r["id"]: r["component"] for r in scc(spark, g, max_rounds=25).collect()}
+    assert all(got[i] == i for i in range(n))  # chain: all singletons
+    assert got[n + 1] == got[n + 2] == got[n + 3] == n + 1
