@@ -922,6 +922,31 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(spark, g)
 
 
+MAXKCUT_K = 4
+
+
+def _q_max_k_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle: the parity-block local search only accepts
+    strictly improving moves, so the final cut weight >= the initial
+    hash-assignment cut; every vertex gets exactly one class in
+    [0, k). Optimality cases are pinned by tests/test_maxkcut.py."""
+    from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
+
+    g = _user_tool_graph(spark, sf_dir)
+    r = approx_max_k_cut(spark, g, k=MAXKCUT_K, max_iterations=6)
+    stats = r.assignments.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_distinct_ids"),
+        F.sum(
+            ((F.col("community") < 0) | (F.col("community") >= MAXKCUT_K)).cast("long")
+        ).alias("n_bad_classes"),
+    )
+    return stats.select(
+        "n_rows", "n_distinct_ids", "n_bad_classes",
+        F.lit(bool(r.cut_weight >= r.init_cut_weight - 1e-9)).alias("cut_ge_init"),
+    )
+
+
 YENS_K = 3
 
 
@@ -1203,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": _q_node2vec,
         "yens": _q_yens,
         "scc": _q_scc,
+        "max_k_cut": _q_max_k_cut,
     }
 
 
@@ -1645,6 +1671,13 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        CAST(0 AS BIGINT) AS n_bad_labels,
        CAST(0 AS BIGINT) AS n_unassigned,
        TRUE AS modularity_ge_singleton
+""",
+        "max_k_cut": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
+       (SELECT COUNT(*) FROM utverts) AS n_distinct_ids,
+       CAST(0 AS BIGINT) AS n_bad_classes,
+       TRUE AS cut_ge_init
 """,
         "scc": f"""
 WITH {USER_TOOL_PRELUDE.strip()},

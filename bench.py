@@ -31,12 +31,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def make_spark(cpus: str) -> SparkSession:
+def make_spark(cpus: str, shuffle_partitions: int | None = None) -> SparkSession:
     n = int(cpus) if str(cpus).isdigit() else 32
     return (
         SparkSession.builder.appName("gds-spark-bench")
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -49,11 +49,19 @@ def make_spark(cpus: str) -> SparkSession:
 
 
 def timed_pagerank(spark: SparkSession, sf_dir: str, iters: int = 10) -> dict:
-    """Fixed-superstep PageRank on the event-derived graph."""
+    """Fixed-superstep PageRank on the event-derived graph; graph
+    build (projection + persist) timed separately from compute."""
+    import time as _t
+
     from graph_data_science_spark.sources import events as ev
 
+    t0 = _t.monotonic()
     g = ev.events_graph(spark, sf_dir)
-    return _timed_pagerank_on_graph(spark, g, iters)
+    g.edge_count()  # materialize the persisted edge table
+    build_sec = _t.monotonic() - t0
+    out = _timed_pagerank_on_graph(spark, g, iters)
+    out["build_sec"] = round(build_sec, 3)
+    return out
 
 
 def _timed_pagerank_on_graph(spark: SparkSession, g, iters: int, warmup: int = 0) -> dict:
@@ -145,10 +153,17 @@ def _scaling_worker() -> None:
     Measuring both levels in one long-lived JVM is unreliable — the
     level measured last inherits accumulated session state and can
     read 2x slower than in isolation. A fresh JVM per level plus the
-    in-process warmup makes the ratio reproducible."""
+    in-process warmup makes the ratio reproducible.
+
+    Both levels run the IDENTICAL job: same input, same
+    spark.sql.shuffle.partitions (a cluster scaling N -> 4N executors
+    keeps its partitioning and gains slots — only the core count may
+    differ between the two measurements)."""
     cpus = os.environ["SPARK_GRAFT_SCALING_WORKER"]
     path = os.environ["SPARK_GRAFT_SCALING_PATH"]
-    spark = make_spark(cpus)
+    # 0 = per-level default (partitions follow core count)
+    parts = int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "32")) or None
+    spark = make_spark(cpus, shuffle_partitions=parts)
     print("WORKER_RESULT " + json.dumps(timed_pagerank_on_parquet(spark, path)))
     spark.stop()
 
@@ -201,13 +216,22 @@ def main() -> None:
             os.environ.get("TMPDIR", "/tmp"), f"gds_spark_scaling_{n_conv}"
         )
         scaling_edge_table(path, n_conv)
-        scaling = {}
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-        for cpus in (lo, hi):
-            # best-of-N fresh-JVM runs: the wall of a single run
-            # carries ~10% machine noise, enough to flip the ratio
-            runs = [_run_scaling_level(cpus, path) for _ in range(repeats)]
-            scaling[cpus] = min(runs, key=lambda r: r["wall_sec"])
+        runs: dict[int, list[dict]] = {lo: [], hi: []}
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+        # interleaved reps: co-tenant noise hits both levels alike
+        for _ in range(repeats):
+            for cpus in (lo, hi):
+                runs[cpus].append(_run_scaling_level(cpus, path))
+
+        def med(xs):
+            s = sorted(xs)
+            return s[len(s) // 2]
+
+        scaling = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
+        med_wall = {c: med([r["wall_sec"] for r in rs]) for c, rs in runs.items()}
+        med_steady = {
+            c: med([r["steady_superstep_sec"] for r in rs]) for c, rs in runs.items()
+        }
         speedup = scaling[lo]["wall_sec"] / scaling[hi]["wall_sec"]
         steady_speedup = (
             scaling[lo]["steady_superstep_sec"] / scaling[hi]["steady_superstep_sec"]
@@ -215,9 +239,13 @@ def main() -> None:
         result["scaling"] = {
             "cpus_low": lo,
             "cpus_high": hi,
+            "shuffle_partitions": int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "32")),
+            "repeats": repeats,
             "edges": scaling[hi]["edges"],
             "wall_sec_low": scaling[lo]["wall_sec"],
             "wall_sec_high": scaling[hi]["wall_sec"],
+            "wall_sec_low_all": [r["wall_sec"] for r in runs[lo]],
+            "wall_sec_high_all": [r["wall_sec"] for r in runs[hi]],
             "edges_per_sec_low": scaling[lo]["edges_per_sec"],
             "edges_per_sec_high": scaling[hi]["edges_per_sec"],
             "steady_edges_per_sec_low": scaling[lo]["steady_edges_per_sec"],
@@ -226,6 +254,11 @@ def main() -> None:
             "efficiency": round(speedup / (hi / lo), 4),
             "steady_speedup": round(steady_speedup, 4),
             "steady_efficiency": round(steady_speedup / (hi / lo), 4),
+            "median_speedup": round(med_wall[lo] / med_wall[hi], 4),
+            "median_efficiency": round((med_wall[lo] / med_wall[hi]) / (hi / lo), 4),
+            "median_steady_efficiency": round(
+                (med_steady[lo] / med_steady[hi]) / (hi / lo), 4
+            ),
         }
 
     print(json.dumps(result))
