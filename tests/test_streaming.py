@@ -1,0 +1,74 @@
+"""Structured Streaming operators: batch/stream equivalence via
+trigger(availableNow) over the sf0.001 events table."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.sources import events as ev
+from graph_data_science_spark.streaming import (
+    streaming_session_stats,
+    streaming_turn_counter,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return ev.load_table(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, events_batch, tmp_path_factory):
+    # FileStreamSource wants a directory; stage the single-file table
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream_src")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return spark.readStream.schema(events_batch.schema).parquet(str(d))
+
+
+def _run_stream(spark, df, name):
+    with tempfile.TemporaryDirectory(prefix="gds_stream_ckpt_") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append" if name == "turns" else "complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_streaming_session_stats_matches_batch_mode(spark, events_batch, events_stream):
+    # the same transformation applied to the batch DF and the stream
+    # must agree row-for-row once the stream drains
+    got = _run_stream(
+        spark, streaming_session_stats(events_stream), "sess"
+    ).collect()
+    want = streaming_session_stats(events_batch).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+    # and the session partitioning agrees with the batch gap operator
+    # on totals (boundary semantics differ only at EXACTLY gap)
+    from graph_data_science_spark.pipeline.sessions import session_stats
+
+    batch = session_stats(events_batch)
+    assert sum(r["n_events"] for r in got) == batch.agg(F.sum("n_events")).collect()[0][0]
+    assert len(got) == batch.count()
+
+
+def test_streaming_turn_counter_matches_event_turns(spark, events_batch, events_stream):
+    got = {
+        (r["user_id"], r["event_id"]): r["turn_idx"]
+        for r in _run_stream(spark, streaming_turn_counter(events_stream), "turns").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["turn_idx"]
+        for r in ev.event_turns(events_batch).collect()
+    }
+    assert got == want and len(got) > 0
