@@ -922,6 +922,35 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(spark, g)
 
 
+CELF_K = 2
+
+
+def _q_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle: greedy IC always returns exactly k seeds that
+    are graph vertices with monotonically non-decreasing cumulative
+    spread, and the first seed's spread >= 1 (it influences itself).
+    Exact spreads are pinned at p=1 / fixture level in tests/."""
+    from graph_data_science_spark.algorithms.celf import celf
+
+    g = _user_tool_graph(spark, sf_dir)
+    res = celf(
+        spark, g, k=CELF_K, propagation_probability=0.2, monte_carlo_sims=3,
+        candidate_sample=60,
+    )
+    seeds_df = spark.createDataFrame([(int(v),) for v, _ in res], "id long")
+    n_bad = seeds_df.join(g.vertices(), "id", "left_anti").count()
+    spreads = [s for _, s in res]
+    return spark.createDataFrame(
+        [(
+            len(res),
+            bool(n_bad == 0),
+            bool(all(a <= b + 1e-9 for a, b in zip(spreads, spreads[1:]))),
+            bool(spreads[0] >= 1.0 if spreads else False),
+        )],
+        "n_seeds int, seeds_are_vertices boolean, spread_monotone boolean, first_ge_one boolean",
+    )
+
+
 MAXKCUT_K = 4
 
 
@@ -1229,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yens": _q_yens,
         "scc": _q_scc,
         "max_k_cut": _q_max_k_cut,
+        "celf": _q_celf,
     }
 
 
@@ -1671,6 +1701,12 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        CAST(0 AS BIGINT) AS n_bad_labels,
        CAST(0 AS BIGINT) AS n_unassigned,
        TRUE AS modularity_ge_singleton
+""",
+        "celf": f"""
+SELECT CAST({CELF_K} AS INTEGER) AS n_seeds,
+       TRUE AS seeds_are_vertices,
+       TRUE AS spread_monotone,
+       TRUE AS first_ge_one
 """,
         "max_k_cut": f"""
 WITH {USER_TOOL_PRELUDE.strip()}
