@@ -1197,6 +1197,136 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+GS_DIM = 8
+
+
+def _q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle: trained weights are SGD artifacts, but a
+    correct GraphSAGE run embeds EVERY vertex at the configured
+    dimension with finite row-L2-normalized values (GraphSageHelper
+    "normalizeRows") — SQL-predictable facts. Aggregator math and
+    determinism are pinned by tests/test_ml_graphsage.py."""
+    from graph_data_science_spark.algorithms.graphsage import graphsage
+
+    g = _user_tool_graph(spark, sf_dir)
+    emb = graphsage(
+        spark, g, embedding_dim=GS_DIM, sample_sizes=[5, 5], epochs=2,
+        max_iterations=3, sample_nodes=128, seed=3,
+    )
+    per = emb.select(
+        F.size("embedding").alias("_d"),
+        F.size(
+            F.filter("embedding", lambda x: F.isnan(x) | (F.abs(x) > 1e6))
+        ).alias("_b"),
+        F.abs(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+            - F.lit(1.0)
+        ).alias("_n"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("_b").alias("n_nonfinite"),
+        F.min("_d").alias("min_dim"),
+        F.max("_d").alias("max_dim"),
+        F.sum((F.col("_n") > 1e-6).cast("long")).alias("n_nonunit"),
+    )
+
+
+def _q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle: the pipeline trains LR on a perfectly
+    separable target — tool vertices (negative vid) vs user vertices,
+    with degree as the feature (tools are used by many users, users
+    touch few tools) — so a correct split/train/predict path must
+    (a) predict every vertex, (b) use only the two known classes, and
+    (c) beat 0.9 holdout accuracy — facts the SQL side states from
+    the input. Metric math and determinism are pinned by
+    tests/test_ml_graphsage.py."""
+    from graph_data_science_spark.mlpipeline import NodeClassificationPipeline
+
+    g = _user_tool_graph(spark, sf_dir)
+    deg = (
+        g.edges.select(F.col("src").alias("id"))
+        .unionAll(g.edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    nodes = g.vertices().join(deg, "id", "left").select(
+        "id",
+        F.coalesce("deg", F.lit(0.0)).alias("deg"),
+        F.when(F.col("id") < 0, F.lit("tool")).otherwise(F.lit("user")).alias("cls"),
+    )
+    lg = Graph(name="ut_cls", edges=g.edges, nodes=nodes, directed=False)
+    pipe = NodeClassificationPipeline()
+    pipe.select_features(["deg"])
+    model = pipe.train(
+        spark, lg, target_property="cls", holdout_fraction=0.3,
+        validation_folds=2, seed=17,
+    )
+    pred = model.predict(spark, lg)
+    known = pred.where(F.col("predicted_class").isin("tool", "user"))
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_predicted"),
+    ).crossJoin(known.agg(F.count(F.lit(1)).alias("_k"))).select(
+        "n_predicted",
+        (F.col("n_predicted") == F.col("_k")).alias("classes_known"),
+        F.lit(model.metrics["test"]["ACCURACY"] >= 0.9).alias("acc_ge_09"),
+        F.lit(len(model.classes) == 2).alias("two_classes"),
+    )
+
+
+LP_TOPN = 20
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle: a correct link-prediction pipeline emits at
+    most topN suggestions, every suggestion is a NON-edge between two
+    graph vertices, probabilities lie in [0,1], and test AUCPR beats
+    chance — SQL-predictable facts; feature math is pinned by
+    tests/test_ml_graphsage.py."""
+    from graph_data_science_spark.mlpipeline import LinkPredictionPipeline
+
+    g = _user_tool_graph(spark, sf_dir)
+    deg = (
+        g.edges.select(F.col("src").alias("id"))
+        .unionAll(g.edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.log1p(F.count(F.lit(1))).alias("ldeg"))
+    )
+    nodes = g.vertices().join(deg, "id", "left").select(
+        "id", F.coalesce("ldeg", F.lit(0.0)).alias("ldeg")
+    )
+    lg = Graph(name="ut_lp", edges=g.edges, nodes=nodes, directed=False)
+    pipe = LinkPredictionPipeline()
+    pipe.add_feature("hadamard", ["ldeg"])
+    pipe.add_feature("l2", ["ldeg"])
+    model = pipe.train(spark, lg, test_fraction=0.3, seed=23)
+    top = model.predict_topn(spark, lg, top_n=LP_TOPN, candidates="twohop")
+    und = g.edges.select("src", "dst").unionAll(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = g.vertices()
+    edge_hits = top.join(und, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_edge_hits")
+    )
+    bad_src = top.join(verts.withColumnRenamed("id", "src"), "src", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_bad_src")
+    )
+    stats = top.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            ((F.col("probability") < -1e-9) | (F.col("probability") > 1 + 1e-9))
+            .cast("long")
+        ).alias("n_out_of_range"),
+    )
+    return stats.crossJoin(edge_hits).crossJoin(bad_src).select(
+        ((F.col("_n") > 0) & (F.col("_n") <= LP_TOPN)).alias("topn_bounded"),
+        "n_edge_hits",
+        "n_bad_src",
+        F.coalesce("n_out_of_range", F.lit(0)).alias("n_out_of_range"),
+        F.lit(model.metrics["AUCPR"] >= 0.5).alias("aucpr_beats_chance"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -1259,6 +1389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "max_k_cut": _q_max_k_cut,
         "celf": _q_celf,
+        "graphsage": _q_graphsage,
+        "node_classification": _q_node_classification,
+        "link_prediction": _q_link_prediction,
     }
 
 
@@ -1741,6 +1874,28 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_nodes,
        CAST(0 AS BIGINT) AS n_nonfinite,
        CAST({N2V_DIM} AS INTEGER) AS min_dim,
        CAST({N2V_DIM} AS INTEGER) AS max_dim
+""",
+        "graphsage": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT (SELECT COUNT(*) FROM utverts) AS n_nodes,
+       CAST(0 AS BIGINT) AS n_nonfinite,
+       CAST({GS_DIM} AS INTEGER) AS min_dim,
+       CAST({GS_DIM} AS INTEGER) AS max_dim,
+       CAST(0 AS BIGINT) AS n_nonunit
+""",
+        "node_classification": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT (SELECT COUNT(*) FROM utverts) AS n_predicted,
+       TRUE AS classes_known,
+       TRUE AS acc_ge_09,
+       TRUE AS two_classes
+""",
+        "link_prediction": """
+SELECT TRUE AS topn_bounded,
+       CAST(0 AS BIGINT) AS n_edge_hits,
+       CAST(0 AS BIGINT) AS n_bad_src,
+       CAST(0 AS BIGINT) AS n_out_of_range,
+       TRUE AS aucpr_beats_chance
 """,
         "simhash": rf"""
 WITH t AS (

@@ -321,3 +321,25 @@ class GdsEngine:
         return self._proc(
             graph, lambda: (fastrp(self.spark, graph, **cfg), {}), "embedding"
         )
+
+    def graphsage(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.beta.graphSage train+stream (mean aggregator)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.graphsage import graphsage
+
+        return self._proc(
+            graph, lambda: (graphsage(self.spark, graph, **cfg), {}), "embedding"
+        )
+
+    # -- ML pipelines ------------------------------------------------------
+    def node_classification_pipeline(self):
+        """gds.beta.pipeline.nodeClassification factory."""
+        from graph_data_science_spark.mlpipeline import NodeClassificationPipeline
+
+        return NodeClassificationPipeline()
+
+    def link_prediction_pipeline(self):
+        """gds.beta.pipeline.linkPrediction factory."""
+        from graph_data_science_spark.mlpipeline import LinkPredictionPipeline
+
+        return LinkPredictionPipeline()
