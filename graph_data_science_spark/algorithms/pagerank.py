@@ -61,17 +61,24 @@ class PageRankConfig:
 
 
 def _degree_state(graph: Graph, weighted: bool) -> DataFrame:
-    """Vertices joined with out-degree (unweighted count or weight sum)."""
-    verts = graph.vertices()
-    edges = graph.view(weight_property=True)
-    deg = (
-        projection.weighted_degrees(edges)
-        if weighted
-        else edges.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).cast("double").alias("degree")
+    """Vertices joined with out-degree (unweighted count or weight
+    sum). Persisted on the Graph handle (catalog.Graph.cached) — the
+    distinct+groupBy over the full edge table is paid once per graph,
+    not once per algorithm run."""
+
+    def build() -> DataFrame:
+        verts = graph.vertices()
+        edges = graph.view(weight_property=True)
+        deg = (
+            projection.weighted_degrees(edges)
+            if weighted
+            else edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).cast("double").alias("degree")
+            )
         )
-    )
-    return verts.join(deg, "id", "left").fillna({"degree": 0.0})
+        return verts.join(deg, "id", "left").fillna({"degree": 0.0})
+
+    return graph.cached(("degree_state", weighted), build)
 
 
 class _PageRankComputation(PregelComputation):

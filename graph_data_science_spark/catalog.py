@@ -43,6 +43,7 @@ class Graph:
     nodes: DataFrame | None = None
     directed: bool = True
     _cached: list[DataFrame] = field(default_factory=list, repr=False)
+    _pregel_edges: dict = field(default_factory=dict, repr=False)
 
     def view(
         self,
@@ -122,6 +123,30 @@ class Graph:
             directed=self.directed,
         )
 
+    def cached(self, key: tuple, build) -> DataFrame:
+        """Per-graph persisted-DataFrame cache: derived layouts
+        (degree state, vertex set, Pregel edge layout) are paid once
+        per graph — the CSR-build analog — and reused by every
+        algorithm run until :meth:`unpersist`."""
+        if key not in self._pregel_edges:
+            df = build().persist()
+            self._pregel_edges[key] = df
+            self._cached.append(df)
+        return self._pregel_edges[key]
+
+    def pregel_edges(self, n_parts: int) -> DataFrame:
+        """The Pregel runner's edge layout — hash-partitioned by src,
+        sorted within partitions (sort-merge joins reuse the ordering
+        every superstep) and persisted. Cached per partition count so
+        back-to-back algorithm runs on the same graph skip the
+        superstep-0 repartition+sort."""
+        return self.cached(
+            ("pregel_edges", n_parts),
+            lambda: self.view(weight_property=True)
+            .repartition(n_parts, "src")
+            .sortWithinPartitions("src"),
+        )
+
     def degrees(self) -> DataFrame:
         return projection.degrees(self.edges)
 
@@ -155,6 +180,7 @@ class Graph:
         for df in self._cached:
             df.unpersist()
         self._cached.clear()
+        self._pregel_edges.clear()
 
 
 class GraphCatalog:
