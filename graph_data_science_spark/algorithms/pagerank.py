@@ -211,6 +211,9 @@ def _run(
         max_iterations=config.max_iterations - 1,
         checkpoint_dir=checkpoint_dir,
         salt_buckets=salt_buckets,
+        # tolerance 0 never halts a vertex, so the per-superstep
+        # active-count job buys nothing — skip it
+        track_active=config.tolerance > 0,
     )
     res = runner.run(comp, graph, resume=resume)
     if not res.did_converge:

@@ -197,6 +197,11 @@ class PregelRunner:
     #: partitions for the edge/state co-partitioning; None = session
     #: spark.sql.shuffle.partitions
     partitions: int | None = None
+    #: False skips the per-superstep active/row count — one whole
+    #: Spark job per superstep that fixed-iteration runs (tolerance 0,
+    #: no vote-to-halt early exit possible) pay for nothing. Metrics
+    #: then record active = rows = -1.
+    track_active: bool = True
 
     # -- checkpoint store ------------------------------------------------
     def _store(self) -> _CheckpointFS:
@@ -391,15 +396,19 @@ class PregelRunner:
             if iteration > start_iter:
                 _free_local_checkpoint(state)
 
-            counts = new_state.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(~F.col("_halted"), 1).otherwise(0)).alias("active"),
-            ).collect()[0]
+            if self.track_active:
+                counts = new_state.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(~F.col("_halted"), 1).otherwise(0)).alias("active"),
+                ).collect()[0]
+                n_active, n_rows = int(counts["active"] or 0), int(counts["n"])
+            else:
+                n_active, n_rows = -1, -1
             wall = time.monotonic() - t0
             m = {
                 "iteration": iteration,
-                "active": int(counts["active"] or 0),
-                "rows": int(counts["n"]),
+                "active": n_active,
+                "rows": n_rows,
                 "wall_sec": wall,
             }
             metrics.append(m)
@@ -410,7 +419,7 @@ class PregelRunner:
                 # (which cannot append) — see _CheckpointFS
                 self._store().append_metric(json.dumps(m), iteration)
             state = new_state
-            if master_converged or int(counts["active"] or 0) == 0:
+            if master_converged or n_active == 0:
                 did_converge = True
                 iteration += 1
                 break
