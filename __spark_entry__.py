@@ -511,6 +511,58 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 3
+IVF_CENTROIDS = 8
+IVF_PROBE = 4
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle: k-means centroids are iteration-order
+    artifacts, but a correct IVF search returns exactly k neighbors
+    per query (probing n_probe of n_centroids lists over the full
+    corpus guarantees >= k candidates here), no self-pairs, cosines
+    in [-1,1], and recall vs the exact brute-force top-k well above
+    the random-list baseline (n_probe/n_centroids) — the Spark side
+    computes recall against its own exact search and returns the
+    comparison as a boolean the SQL side states."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    res = ann.ivf_topk(
+        emb, emb, k=IVF_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        seed=ANN_SEED,
+    )
+    brute = ann.cosine_topk(emb, emb, k=IVF_K)
+    hit = res.select("query_id", "neighbor_id").intersect(
+        brute.select("query_id", "neighbor_id")
+    ).agg(F.count(F.lit(1)).alias("_h"))
+    btotal = brute.agg(F.count(F.lit(1)).alias("_b"))
+    per = res.groupBy("query_id").agg(F.count(F.lit(1)).alias("_c"))
+    pstats = per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min("_c").alias("min_per_query"),
+        F.max("_c").alias("max_per_query"),
+    )
+    rstats = res.agg(
+        F.sum((F.col("query_id") == F.col("neighbor_id")).cast("long")).alias(
+            "n_self_pairs"
+        ),
+        F.sum(
+            ((F.col("cosine") < -1.000001) | (F.col("cosine") > 1.000001)).cast("long")
+        ).alias("n_out_of_range"),
+    )
+    return pstats.crossJoin(rstats).crossJoin(hit).crossJoin(btotal).select(
+        "n_queries",
+        "min_per_query",
+        "max_per_query",
+        "n_self_pairs",
+        "n_out_of_range",
+        # recall must beat probing random lists by a clear margin
+        (
+            F.col("_h") / F.col("_b")
+            > F.lit(float(IVF_PROBE) / IVF_CENTROIDS + 0.05)
+        ).alias("recall_beats_random_probe"),
+    )
+
+
 def _q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ev.load_table(spark, sf_dir, "embeddings")
     return ann.cosine_near_duplicates(
@@ -1380,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "cosine_near_duplicates": _q_cosine_near_dups,
         "scale_minmax": _q_scale_minmax,
         "scale_stdscore": _q_scale_stdscore,
@@ -1826,6 +1879,16 @@ SELECT nv AS n_nodes,
        CAST(LEAST({KNN_K}, nv - 1) AS BIGINT) AS max_per_node,
        CAST(0 AS BIGINT) AS n_self_pairs,
        CAST(0 AS BIGINT) AS n_out_of_range
+FROM n
+""",
+        "ann_ivf_topk": f"""
+WITH n AS (SELECT COUNT(*) AS nv FROM embeddings)
+SELECT nv AS n_queries,
+       CAST({IVF_K} AS BIGINT) AS min_per_query,
+       CAST({IVF_K} AS BIGINT) AS max_per_query,
+       CAST(0 AS BIGINT) AS n_self_pairs,
+       CAST(0 AS BIGINT) AS n_out_of_range,
+       TRUE AS recall_beats_random_probe
 FROM n
 """,
         "sllpa": """

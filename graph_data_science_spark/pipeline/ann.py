@@ -283,6 +283,109 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    other classic ANN scale path next to LSH:
+
+    1. TRAIN a coarse quantizer: spherical k-means over L2-normalized
+       vectors (Spark ML KMeans, distributed Lloyd iterations, fixed
+       seed). The codebook is `n_centroids` rows — driver-tiny.
+    2. ASSIGN every corpus vector to its nearest centroid (one
+       model.transform — JVM-side) => the inverted lists, physically
+       a `centroid` column the bucket join shuffles on.
+    3. PROBE: each query scores all centroids (codebook broadcast as
+       a literal array — no join, pure column math) and keeps its
+       `n_probe` closest lists; exact cosine + window top-k inside
+       the probed lists only.
+
+    Scale shape: the expensive pass is one shuffle keyed by centroid
+    id; per-list work is bounded by list size x n_probe, and skewed
+    lists are AQE-split. recall rises with n_probe (probe all lists
+    == exact search).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
+    )
+    c_norm = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(unit).alias("_feat"),
+    )
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="_feat", predictionCol="centroid",
+    )
+    model = km.fit(c_norm)
+    inv = model.transform(c_norm).select("neighbor_id", "_cv", "centroid")
+
+    centers = [list(c) for c in model.clusterCenters()]
+    codebook = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    qu = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        unit.alias("_qu"),
+    )
+    # per-query centroid scores: dot(unit query, centroid c) for all c,
+    # ranked descending; keep the n_probe best — all inside one row,
+    # no join against the codebook
+    scored = qu.withColumn(
+        "_probes",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        codebook,
+                        lambda cv, i: F.struct(
+                            (-F.aggregate(
+                                F.zip_with(F.col("_qu"), cv, lambda a, b: a * b),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            )).alias("negdot"),
+                            i.alias("cid"),
+                        ),
+                    )
+                ),
+                lambda s: s["cid"],
+            ),
+            1,
+            n_probe,
+        ),
+    )
+    probes = scored.select(
+        "query_id", "_qv", F.explode("_probes").alias("centroid")
+    )
+    pairs = probes.join(inv, "centroid").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (
+        _norm(F.col("_qv")) * _norm(F.col("_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", sim)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     dim: int,

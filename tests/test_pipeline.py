@@ -110,6 +110,33 @@ def test_lsh_topk_recall_on_clusters(spark):
     assert recall >= 0.6  # same-cluster vectors share buckets w.h.p.
 
 
+def test_ivf_topk_recall_on_clusters(spark):
+    """IVF with k-means coarse quantizer: on well-separated clusters
+    the nearest-centroid lists contain the true neighbors, so recall
+    with n_probe=2 of 10 lists should be near-perfect — far above
+    the 0.2 random-list baseline."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 16))
+    rows = []
+    for i in range(100):
+        c = i % 10
+        v = base[c] + rng.standard_normal(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(df, queries, k=3)
+    approx = ann.ivf_topk(df, queries, k=3, n_centroids=10, n_probe=2, seed=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.8
+    # every query fills its k slots and never returns itself
+    per = {}
+    for q, n in a:
+        assert q != n
+        per[q] = per.get(q, 0) + 1
+    assert all(v == 3 for v in per.values())
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, "image", bytearray(b"imgbytes1"), ("image/png", 64, 64, None)),
