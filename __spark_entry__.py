@@ -1264,6 +1264,23 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn TEXT EQUALITY under stable (conv_id, turn_idx)
+    ordering — the input_hint's per-row invariant, checked value-exact:
+    every projected turn row (conv id, index, role, text, tool, epoch
+    micros) must match the oracle's independent SQL projection of the
+    same event log."""
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
 GS_DIM = 8
 
 
@@ -1460,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphsage": _q_graphsage,
         "node_classification": _q_node_classification,
         "link_prediction": _q_link_prediction,
+        "transcripts": _q_transcripts,
     }
 
 
@@ -1967,6 +1985,20 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_predicted,
        TRUE AS classes_known,
        TRUE AS acc_ge_09,
        TRUE AS two_classes
+""",
+        "transcripts": """
+WITH turns AS (
+  SELECT user_id, event_type, props, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx
+  FROM events
+)
+SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(turn_idx AS INTEGER) AS turn_idx,
+       CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       props AS text,
+       event_type AS tool,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM turns
 """,
         "link_prediction": """
 SELECT TRUE AS topn_bounded,
