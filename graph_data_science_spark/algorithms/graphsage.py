@@ -288,17 +288,28 @@ class GraphSageModel:
     def predict(self, spark: SparkSession, g: Graph) -> DataFrame:
         """(id, embedding array<double>) for EVERY node — distributed
         layer rollout (GraphSageEmbeddingsGenerator analog)."""
+        from graph_data_science_spark.pregel import _free_local_checkpoint
+
         cfg = self.config
         feats = _node_features(g, cfg)
-        nbrs = _neighbors(g)
+        nbrs = _neighbors(g).persist()
         h = feats.select("id", F.col("feat").alias("vec"))
+        prev = None
         n_layers = len(self.weights)
         for k, W in enumerate(self.weights):
             fan = cfg.sample_sizes[k] if k < len(cfg.sample_sizes) else 10
             gathered = _mean_with_self(h, nbrs, fanout=fan)
+            # materialize each layer: the gather references h TWICE
+            # (self branch + neighbor branch) and Spark does not share
+            # common subtrees across a union — without truncation
+            # layer k would recompute layer k-1 twice (2^L blowup)
             h = _apply_layer(
                 spark, gathered, W, cfg.activation, normalize=(k == n_layers - 1)
-            )
+            ).localCheckpoint(eager=True)
+            if prev is not None:
+                _free_local_checkpoint(prev)
+            prev = h
+        nbrs.unpersist()
         return h.select("id", F.col("vec").alias("embedding"))
 
 

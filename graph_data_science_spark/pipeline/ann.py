@@ -377,9 +377,12 @@ def ivf_topk(
         _norm(F.col("_qv")) * _norm(F.col("_cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # no dropDuplicates: every corpus vector lives in exactly ONE
+    # inverted list and probed centroid ids are distinct, so
+    # (query_id, neighbor_id) pairs are unique by construction —
+    # dedup here would be a full extra shuffle for nothing
     return (
         pairs.withColumn("cosine", sim)
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
