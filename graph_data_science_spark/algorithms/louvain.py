@@ -173,6 +173,7 @@ def _local_moving(
         ).collect()[0][0] or 0
         # repartition: union sums its children's partition counts, so
         # without this the count doubles per sweep (exponential tasks)
+        prev_comm = comm
         comm = (
             comm.where(F.pmod(F.col("id"), F.lit(2)) != parity)
             .select("id", "community", "k")
@@ -180,6 +181,13 @@ def _local_moving(
             .repartition(n_parts, "id")
             .localCheckpoint(True)
         )
+        # free superseded sweep snapshots deterministically (see
+        # pregel._free_local_checkpoint: the lazy ContextCleaner
+        # otherwise reclaims them mid-sweep as wall spikes)
+        from graph_data_science_spark.pregel import _free_local_checkpoint
+
+        _free_local_checkpoint(decide)
+        _free_local_checkpoint(prev_comm)
         no_move_streak = no_move_streak + 1 if int(moved) == 0 else 0
         if no_move_streak >= 2:  # a full even+odd sweep without movement
             break
