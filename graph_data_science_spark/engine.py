@@ -322,6 +322,32 @@ class GdsEngine:
             graph, lambda: (fastrp(self.spark, graph, **cfg), {}), "embedding"
         )
 
+    def betweenness(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.betweenness import betweenness
+
+        return self._proc(
+            graph, lambda: (betweenness(self.spark, graph, **cfg), {}), "score"
+        )
+
+    def sllpa(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.sllpa import sllpa
+
+        return self._proc(
+            graph, lambda: (sllpa(self.spark, graph, **cfg), {}), "community"
+        )
+
+    def conductance(self, graph: Graph, communities=None, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.conductance import conductance
+
+        return self._proc(
+            graph,
+            lambda: (conductance(self.spark, graph, communities, **cfg), {}),
+            "conductance",
+        )
+
     def graphsage(self, graph: Graph, **cfg) -> ProcResult:
         """gds.beta.graphSage train+stream (mean aggregator)."""
         graph = self._filtered(graph, cfg)

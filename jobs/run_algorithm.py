@@ -39,7 +39,8 @@ ALGORITHMS = (
     "pagerank", "article_rank", "eigenvector", "wcc", "label_propagation",
     "triangle_count", "local_clustering_coefficient", "degree_centrality",
     "louvain", "scc", "k1coloring", "hits", "closeness_centrality",
-    "harmonic_centrality", "node_similarity", "fastrp",
+    "harmonic_centrality", "node_similarity", "fastrp", "graphsage",
+    "betweenness", "sllpa",
 )
 
 
