@@ -430,6 +430,10 @@ def main() -> None:
             "efficiency": primary["efficiency"],
             "steady_speedup": primary["steady_speedup"],
             "steady_efficiency": primary["steady_efficiency"],
+            # the north_rule criterion verbatim: THROUGHPUT (steady
+            # edges/sec, excluding per-run setup) scaling efficiency
+            # across the primary N->4N pair
+            "throughput_scaling_efficiency": primary["steady_efficiency"],
         }
 
     print(json.dumps(result))
