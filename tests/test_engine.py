@@ -81,6 +81,27 @@ def test_generator_deterministic(spark):
     assert min(degs) >= 1
 
 
+def test_new_proc_facades(spark, gds):
+    """Round-2 engine procs (betweenness / sllpa / conductance /
+    graphsage) run through the stream mode on a small graph."""
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    g = Graph(name="facades", edges=edge_df(spark, ring), directed=False)
+    bw = gds.betweenness(g, directed=False).stream().collect()
+    assert len(bw) == 6 and all(r["score"] >= 0 for r in bw)
+    sl = gds.sllpa(g, max_iterations=4).stream().collect()
+    assert {r["id"] for r in sl} <= set(range(6)) and len(sl) >= 6
+    comms = spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], "id long, community long"
+    )
+    cond = gds.conductance(g, communities=comms).stream().collect()
+    assert len(cond) == 2
+    emb = gds.graphsage(
+        g, embedding_dim=4, sample_sizes=[3], epochs=1, max_iterations=1,
+        sample_nodes=6,
+    ).stream().collect()
+    assert len(emb) == 6 and all(len(r["embedding"]) == 4 for r in emb)
+
+
 def test_random_walks(spark):
     ring = [(i, (i + 1) % 6) for i in range(6)]
     g = Graph(name="walkg", edges=edge_df(spark, ring))
