@@ -54,7 +54,10 @@ def hits(
         .localCheckpoint(eager=True)
     )
 
+    from graph_data_science_spark.pregel import _free_local_checkpoint
+
     for _ in range(hits_iterations):
+        prev = state
         state = _l2_normalize(state, "auth")
         # hub(u) = sum of normalized auth over u's out-neighbors
         hub_msgs = (
@@ -82,5 +85,6 @@ def hits(
             .drop("_auth")
             .localCheckpoint(eager=True)
         )
+        _free_local_checkpoint(prev)  # superseded round snapshot
     edges.unpersist()
     return state.select("id", "auth", "hub")

@@ -84,6 +84,7 @@ def k1coloring(
             )
             .select("id", "_new_color")
         )
+        prev_state, prev_dirty = state, dirty
         state = (
             state.join(nbr_colors, "id", "left")
             .select(
@@ -105,6 +106,12 @@ def k1coloring(
         dirty = (
             blocked.unionByName(conflicts).distinct().localCheckpoint(eager=True)
         )
+        # free superseded snapshots deterministically (see
+        # pregel._free_local_checkpoint)
+        from graph_data_science_spark.pregel import _free_local_checkpoint
+
+        _free_local_checkpoint(prev_state)
+        _free_local_checkpoint(prev_dirty)
     edges.unpersist()
     return state
 

@@ -84,11 +84,17 @@ def sssp(
         improved = improved.localCheckpoint(eager=True)
         if improved.isEmpty():
             break
+        prev_state, prev_frontier = state, frontier
         state = (
             state.join(improved.select("id"), "id", "left_anti")
             .unionByName(improved)
             .localCheckpoint(eager=True)
         )
+        from graph_data_science_spark.pregel import _free_local_checkpoint
+
+        _free_local_checkpoint(prev_state)
+        if prev_frontier is not prev_state:
+            _free_local_checkpoint(prev_frontier)
         frontier = improved
     edges.unpersist()
     return state
