@@ -50,6 +50,12 @@ class GraphSageConfig:
     batch_size: int = 256
     sample_nodes: int = 256  # driver-side training sample cap (roots)
     feature_properties: list[str] | None = None
+    #: True aggregates the relationship-weighted neighbor mean
+    #: (MeanAggregator.java:35 weighted formula; the self row keeps
+    #: weight 1). Training stays unweighted — the reference's weight
+    #: factor only scales the LOSS term (GraphSageLoss.java:110-117),
+    #: not the sampled-gradient geometry this driver-side fit uses.
+    relationship_weight: bool = False
     seed: int = 42
 
 
@@ -85,22 +91,33 @@ def _node_features(g: Graph, cfg: GraphSageConfig) -> DataFrame:
     )
 
 
-def _neighbors(g: Graph) -> DataFrame:
-    """Symmetric (v, nbr) pairs — GraphSAGE aggregates over the
-    undirected neighborhood of the projected graph."""
-    e = g.edges.select("src", "dst")
+def _neighbors(g: Graph, weighted: bool = False) -> DataFrame:
+    """Symmetric (v, nbr, w) pairs — GraphSAGE aggregates over the
+    undirected neighborhood of the projected graph. ``w`` is the
+    relationship weight when ``weighted`` (parallel duplicates keep
+    their max), else 1.0."""
+    wcol = (
+        F.coalesce(F.col("weight"), F.lit(1.0)).cast("double")
+        if weighted and "weight" in g.edges.columns
+        else F.lit(1.0)
+    )
+    e = g.edges.select("src", "dst", wcol.alias("w"))
     return (
-        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
         .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+        .groupBy(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+        .agg(F.max("w").alias("w"))
     )
 
 
 def _mean_with_self(h: DataFrame, nbrs: DataFrame, fanout: int) -> DataFrame:
-    """(id, vec) -> (id, vec) where vec = mean of own + up-to-`fanout`
-    neighbor vectors. Hub cap via per-v hash rank (partitioned window,
-    never global); the gather is posexplode + avg, all JVM-side."""
+    """(id, vec) -> (id, vec) where vec = weighted mean of own
+    (weight 1) + up-to-`fanout` neighbor vectors (MeanAggregator
+    weighted formula; plain mean when all weights are 1). Hub cap via
+    per-v hash rank (partitioned window, never global); the gather is
+    posexplode + sum(w·x)/sum(w), all JVM-side."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("v").orderBy(F.xxhash64("v", "nbr"))
@@ -109,11 +126,13 @@ def _mean_with_self(h: DataFrame, nbrs: DataFrame, fanout: int) -> DataFrame:
     )
     contrib = capped.join(
         h.withColumnRenamed("id", "nbr"), "nbr"
-    ).select(F.col("v").alias("id"), "vec").unionAll(h.select("id", "vec"))
+    ).select(F.col("v").alias("id"), "vec", "w").unionAll(
+        h.select("id", "vec", F.lit(1.0).alias("w"))
+    )
     return (
-        contrib.select("id", F.posexplode("vec").alias("pos", "x"))
+        contrib.select("id", "w", F.posexplode("vec").alias("pos", "x"))
         .groupBy("id", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m"))
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_s"))
         .select("id", F.transform("_s", lambda s: s["m"]).alias("vec"))
@@ -292,7 +311,7 @@ class GraphSageModel:
 
         cfg = self.config
         feats = _node_features(g, cfg)
-        nbrs = _neighbors(g).persist()
+        nbrs = _neighbors(g, cfg.relationship_weight).persist()
         h = feats.select("id", F.col("feat").alias("vec"))
         prev = None
         n_layers = len(self.weights)

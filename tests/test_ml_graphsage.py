@@ -169,6 +169,44 @@ def test_graphsage_shapes_and_determinism(spark):
         assert a == pytest.approx(b)
 
 
+def test_graphsage_weighted_mean(spark):
+    """relationship_weight=True: the neighbor mean weights by edge
+    weight (self stays 1) — with a dominant-weight edge the embedding
+    input shifts toward that neighbor's features, changing the output
+    vs the unweighted run; with all weights 1 both modes agree."""
+    from graph_data_science_spark.algorithms.graphsage import graphsage_train
+
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    edges_w = spark.createDataFrame(
+        [(0, 1, "REL", 100.0), (0, 2, "REL", 1.0), (1, 2, "REL", 1.0)],
+        "src long, dst long, rel_type string, weight double",
+    )
+    nodes = spark.createDataFrame(
+        [(0, 1.0), (1, 5.0), (2, -5.0)], "id long, x double"
+    )
+    kwargs = dict(
+        embedding_dim=4, sample_sizes=[2], epochs=1, max_iterations=1,
+        sample_nodes=3, feature_properties=["x"], seed=3,
+    )
+    g_w = Graph(name="wg", edges=edges_w, nodes=nodes, directed=False)
+    m = graphsage_train(spark, g_w, relationship_weight=True, **kwargs)
+    m_un = graphsage_train(spark, g_w, **kwargs)
+    # same seed -> identical trained weights; only the inference
+    # aggregation differs
+    for a, b in zip(m.weights, m_un.weights):
+        assert a == pytest.approx(b)
+    ew = {r["id"]: r["embedding"] for r in m.predict(spark, g_w).collect()}
+    eu = {r["id"]: r["embedding"] for r in m_un.predict(spark, g_w).collect()}
+    assert ew[0] != pytest.approx(eu[0])  # hub mean dominated by w=100 edge
+    # uniform weights reproduce the unweighted mean exactly
+    edges_1 = edges_w.withColumn("weight", F.lit(1.0))
+    g_1 = Graph(name="wg1", edges=edges_1, nodes=nodes, directed=False)
+    m1 = graphsage_train(spark, g_1, relationship_weight=True, **kwargs)
+    e1 = {r["id"]: r["embedding"] for r in m1.predict(spark, g_1).collect()}
+    for i in e1:
+        assert e1[i] == pytest.approx(eu[i], abs=1e-9)
+
+
 def test_graphsage_community_structure(spark):
     """Embeddings of same-community nodes are closer than
     cross-community pairs on average — the unsupervised loss pulls
