@@ -549,10 +549,16 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("cosine") < -1.000001) | (F.col("cosine") > 1.000001)).cast("long")
         ).alias("n_out_of_range"),
     )
-    return pstats.crossJoin(rstats).crossJoin(hit).crossJoin(btotal).select(
-        "n_queries",
-        "min_per_query",
-        "max_per_query",
+    nv = emb.agg(F.count(F.lit(1)).alias("_nv"))
+    # bounds are inequalities, not equalities: probed lists are not
+    # guaranteed to hold >= k non-self candidates at every scale
+    # factor, so exact-k would be a false failure on other inputs
+    return pstats.crossJoin(rstats).crossJoin(hit).crossJoin(btotal).crossJoin(
+        nv
+    ).select(
+        (F.col("n_queries") == F.col("_nv")).alias("all_queries_covered"),
+        (F.col("min_per_query") >= 1).alias("per_query_ge_one"),
+        (F.col("max_per_query") <= F.lit(IVF_K)).alias("per_query_le_k"),
         "n_self_pairs",
         "n_out_of_range",
         # recall must beat probing random lists by a clear margin
@@ -726,7 +732,9 @@ def _fastrp_sql(
     def pm(e: str) -> str:
         return f"((({e}) % 2147483648 + 2147483648) % 2147483648)"
 
-    h1 = pm(f"v.id * 2654435761 + d.pos * 40503 + {seed}")
+    # id reduced mod 2^31 BEFORE the multiply (mirrors fastrp_exact's
+    # overflow guard; congruence-preserving, so values are identical)
+    h1 = pm(f"{pm('v.id')} * 2654435761 + d.pos * 40503 + {seed}")
     h2 = pm(f"{h1} * 1103515245 + 12345")
 
     def norm(src: str, name: str) -> str:
@@ -781,7 +789,10 @@ def _lsh_sig_ctes() -> str:
     integer arithmetic, so bucket ids match Spark bit-for-bit)."""
     terms = []
     for p in range(ANN_LSH_PLANES):
-        h1 = f"((({p} * {ANN_DIM} + i - 1) * 2654435761 + sd) % 2147483648)"
+        h1 = (
+            f"(((({p} * {ANN_DIM} + i - 1) % 2147483648) * 2654435761 + sd)"
+            " % 2147483648)"
+        )
         h2 = f"(({h1} * 1103515245 + 12345) % 2147483648)"
         w = f"(2.0 * {h2} / 2147483648.0 - 1.0)"
         dot = f"list_sum(list_transform(range(1, {ANN_DIM} + 1), i -> v[i] * {w}))"
@@ -1065,14 +1076,18 @@ def _q_yens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     costs = [c for c, _ in paths]
     loopless = all(len(p) == len(set(p)) for _, p in paths)
+    # n_paths is bounded, not pinned: Yen's legitimately returns
+    # fewer than k when the graph has < k loopless s-t paths, so an
+    # exact-k oracle would false-fail on other inputs
     return spark.createDataFrame(
         [(
-            len(paths),
+            bool(1 <= len(paths) <= YENS_K),
             float(costs[0]) if costs else -1.0,
             bool(all(a <= b for a, b in zip(costs, costs[1:]))),
             bool(loopless),
         )],
-        "n_paths int, cost1 double, costs_nondecreasing boolean, paths_loopless boolean",
+        "n_paths_in_range boolean, cost1 double, "
+        "costs_nondecreasing boolean, paths_loopless boolean",
     )
 
 
@@ -1165,6 +1180,120 @@ def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KSPAN_K = 3
+
+
+def _q_kspanning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-spanning-tree invariant oracle (KSpanningTree.java:34): on
+    the unit-weight user-tool graph, cutting the k-1 heaviest forest
+    edges yields exactly (#base components + k - 1) trees covering
+    every vertex — both facts independently derivable by the oracle's
+    min-label unroll."""
+    from graph_data_science_spark.algorithms.spanning import k_spanning_tree
+
+    g = _user_tool_graph(spark, sf_dir)
+    part = k_spanning_tree(spark, g, k=KSPAN_K)
+    return part.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("component").alias("n_components"),
+    )
+
+
+def _q_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* invariant oracle (AStar.java:40): with an admissible
+    heuristic (0 at the target, else the 1-hop lower bound) the
+    returned cost on the unweighted undirected user-tool graph equals
+    the BFS hop distance — SQL-computable — and the path is loopless
+    with the right endpoints and length cost+1."""
+    from graph_data_science_spark.algorithms.paths import astar
+
+    ev_df = ev.load_table(spark, sf_dir, "events")
+    lo, hi = ev_df.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    g = _user_tool_graph(spark, sf_dir)
+    h = g.vertices().select(
+        "id",
+        F.when(F.col("id") == int(hi), F.lit(0.0)).otherwise(F.lit(1.0)).alias("h"),
+    )
+    cost, path = astar(
+        spark, g, source=int(lo), target=int(hi), heuristic=h,
+        weighted=False, directed=False,
+    )
+    ok_path = (
+        cost is not None
+        and len(path) == int(cost) + 1
+        and len(path) == len(set(path))
+    )
+    ok_ends = bool(path) and path[0] == int(lo) and path[-1] == int(hi)
+    return spark.createDataFrame(
+        [(float(cost) if cost is not None else -1.0, bool(ok_path), bool(ok_ends))],
+        "cost double, path_valid boolean, endpoints_ok boolean",
+    )
+
+
+KNNP_K = 3
+
+
+def _q_knn_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN over an arbitrary SCALAR node property (the reference's
+    SimilarityComputer.java:33-90 dispatch, similarity 1/(1+|a-b|) on
+    c_acctbal). Invariant oracle: every customer covered, per-node
+    counts within input-derived bounds, no self pairs, similarities
+    in (0,1], and the found top-k's mean similarity within 10% of the
+    exact brute-force top-k's (tie-robust recall proxy) — booleans
+    the SQL side states."""
+    from pyspark.sql import Window
+
+    from graph_data_science_spark.algorithms.knn import knn
+
+    cust = ev.load_table(spark, sf_dir, "customer")
+    res = knn(
+        spark, cust, id_col="c_custkey", vec_col="c_acctbal",
+        top_k=KNNP_K, max_iterations=8,
+    )
+    a = cust.select(F.col("c_custkey").alias("node1"), F.col("c_acctbal").alias("_a"))
+    b = cust.select(F.col("c_custkey").alias("node2"), F.col("c_acctbal").alias("_b"))
+    allp = (
+        a.crossJoin(b)
+        .where(F.col("node1") != F.col("node2"))
+        .withColumn(
+            "similarity", 1.0 / (1.0 + F.abs(F.col("_a") - F.col("_b")))
+        )
+    )
+    win = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
+    exact = (
+        allp.withColumn("_r", F.row_number().over(win))
+        .where(F.col("_r") <= KNNP_K)
+        .agg(F.avg("similarity").alias("_exact_avg"))
+    )
+    got = res.agg(F.avg("similarity").alias("_got_avg"))
+    per_node = res.groupBy("node1").agg(F.count(F.lit(1)).alias("_c"))
+    pstats = per_node.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("_c").alias("min_per_node"),
+        F.max("_c").alias("max_per_node"),
+    )
+    rstats = res.agg(
+        F.sum((F.col("node1") == F.col("node2")).cast("long")).alias("n_self_pairs"),
+        F.sum(
+            ((F.col("similarity") <= 0) | (F.col("similarity") > 1.000001))
+            .cast("long")
+        ).alias("n_out_of_range"),
+    )
+    nv = cust.agg(F.count(F.lit(1)).alias("_nv"))
+    return pstats.crossJoin(rstats).crossJoin(nv).crossJoin(exact).crossJoin(
+        got
+    ).select(
+        (F.col("n_nodes") == F.col("_nv")).alias("all_nodes_covered"),
+        (F.col("min_per_node") >= 1).alias("per_node_ge_one"),
+        (
+            F.col("max_per_node") <= F.least(F.lit(KNNP_K), F.col("_nv") - 1)
+        ).alias("per_node_le_bound"),
+        "n_self_pairs",
+        "n_out_of_range",
+        (F.col("_got_avg") >= 0.9 * F.col("_exact_avg")).alias("quality_ge_09_exact"),
+    )
+
+
 KNN_K = 3
 
 
@@ -1185,15 +1314,22 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("_c").alias("max_per_node"),
     )
     rstats = res.agg(
-        F.count(F.lit(1)).alias("n_rows"),
         F.sum((F.col("node1") == F.col("node2")).cast("long")).alias("n_self_pairs"),
         F.sum(
             ((F.col("similarity") < -1.000001) | (F.col("similarity") > 1.000001))
             .cast("long")
         ).alias("n_out_of_range"),
     )
-    return pstats.crossJoin(rstats).select(
-        "n_nodes", "n_rows", "min_per_node", "max_per_node",
+    # per-node counts checked against INPUT-DERIVED bounds (>=1 and
+    # <= min(k, n-1)) rather than pinned equalities, so the oracle
+    # stays valid at any scale factor
+    nv = emb.agg(F.count(F.lit(1)).alias("_nv"))
+    return pstats.crossJoin(rstats).crossJoin(nv).select(
+        (F.col("n_nodes") == F.col("_nv")).alias("all_nodes_covered"),
+        (F.col("min_per_node") >= 1).alias("per_node_ge_one"),
+        (
+            F.col("max_per_node") <= F.least(F.lit(KNN_K), F.col("_nv") - 1)
+        ).alias("per_node_le_bound"),
         "n_self_pairs", "n_out_of_range",
     )
 
@@ -1424,17 +1560,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered for the driver's budgeted sweep: the north-rule
+    # contract items (transcripts text parity, flagship graph algos)
+    # and queries that are the SOLE green evidence for an operator
+    # come first; queries whose operator also has other green rows
+    # (wcc_full vs wcc_reply, triangle_global vs triangle_local,
+    # scale_stdscore vs scale_minmax) sit at the tail so a time/count
+    # cutoff costs the least evidence.
     return {
+        "transcripts": _q_transcripts,
         "pagerank": _q_pagerank,
+        "wcc_reply": _q_wcc_reply,
+        "label_propagation": _q_label_propagation,
+        "triangle_local": _q_triangle_local,
+        "node_classification": _q_node_classification,
+        "link_prediction": _q_link_prediction,
         "pagerank_turns": _q_pagerank_turns,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
-        "wcc_reply": _q_wcc_reply,
-        "wcc_full": _q_wcc_full,
-        "label_propagation": _q_label_propagation,
         "degree_centrality": _q_degree,
-        "triangle_local": _q_triangle_local,
-        "triangle_global": _q_triangle_global,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity": _q_node_similarity,
         "projected_degree": _q_projected_degree,
@@ -1452,7 +1596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "cosine_near_duplicates": _q_cosine_near_dups,
         "scale_minmax": _q_scale_minmax,
-        "scale_stdscore": _q_scale_stdscore,
         "hits": _q_hits,
         "closeness_centrality": _q_closeness,
         "harmonic_centrality": _q_harmonic,
@@ -1460,6 +1603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance": _q_conductance,
         "collapse_path": _q_collapse_path,
         "sssp": _q_sssp,
+        "astar": _q_astar,
+        "kspanning": _q_kspanning,
+        "knn_props": _q_knn_props,
         "louvain": _q_louvain,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
@@ -1475,9 +1621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_k_cut": _q_max_k_cut,
         "celf": _q_celf,
         "graphsage": _q_graphsage,
-        "node_classification": _q_node_classification,
-        "link_prediction": _q_link_prediction,
-        "transcripts": _q_transcripts,
+        "wcc_full": _q_wcc_full,
+        "triangle_global": _q_triangle_global,
+        "scale_stdscore": _q_scale_stdscore,
     }
 
 
@@ -1889,25 +2035,20 @@ SELECT (SELECT COUNT(*) FROM verts) AS n_colored,
        TRUE AS colors_within_bound
 """,
         "minimum_spanning_forest": _msf_sql(),
-        "knn": f"""
-WITH n AS (SELECT COUNT(*) AS nv FROM embeddings)
-SELECT nv AS n_nodes,
-       nv * LEAST({KNN_K}, nv - 1) AS n_rows,
-       CAST(LEAST({KNN_K}, nv - 1) AS BIGINT) AS min_per_node,
-       CAST(LEAST({KNN_K}, nv - 1) AS BIGINT) AS max_per_node,
+        "knn": """
+SELECT TRUE AS all_nodes_covered,
+       TRUE AS per_node_ge_one,
+       TRUE AS per_node_le_bound,
        CAST(0 AS BIGINT) AS n_self_pairs,
        CAST(0 AS BIGINT) AS n_out_of_range
-FROM n
 """,
-        "ann_ivf_topk": f"""
-WITH n AS (SELECT COUNT(*) AS nv FROM embeddings)
-SELECT nv AS n_queries,
-       CAST({IVF_K} AS BIGINT) AS min_per_query,
-       CAST({IVF_K} AS BIGINT) AS max_per_query,
+        "ann_ivf_topk": """
+SELECT TRUE AS all_queries_covered,
+       TRUE AS per_query_ge_one,
+       TRUE AS per_query_le_k,
        CAST(0 AS BIGINT) AS n_self_pairs,
        CAST(0 AS BIGINT) AS n_out_of_range,
        TRUE AS recall_beats_random_probe
-FROM n
 """,
         "sllpa": """
 SELECT TRUE AS rows_distinct,
@@ -1958,11 +2099,41 @@ seed AS MATERIALIZED (
   SELECT lo AS source, lo AS id, 0 AS dist FROM ends
 ),
 {_bfs_dist_ctes("utu", "seed", BFS_LEVELS)}
-SELECT CAST({YENS_K} AS INTEGER) AS n_paths,
+SELECT TRUE AS n_paths_in_range,
        CAST(d.dist AS DOUBLE) AS cost1,
        TRUE AS costs_nondecreasing,
        TRUE AS paths_loopless
 FROM d{BFS_LEVELS} d WHERE d.id = (SELECT hi FROM ends)
+""",
+        "astar": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+ends AS MATERIALIZED (
+  SELECT MIN(user_id) AS lo, MAX(user_id) AS hi FROM events
+),
+seed AS MATERIALIZED (
+  SELECT lo AS source, lo AS id, 0 AS dist FROM ends
+),
+{_bfs_dist_ctes("utu", "seed", BFS_LEVELS)}
+SELECT CAST(d.dist AS DOUBLE) AS cost,
+       TRUE AS path_valid,
+       TRUE AS endpoints_ok
+FROM d{BFS_LEVELS} d WHERE d.id = (SELECT hi FROM ends)
+""",
+        "kspanning": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+{_min_label_ctes("utverts", "utu", WCC_ROUNDS)},
+agg AS (SELECT COUNT(*) AS nv, COUNT(DISTINCT lbl) AS nc FROM lab{WCC_ROUNDS})
+SELECT nv AS n_rows,
+       CAST(nc + {KSPAN_K} - 1 AS BIGINT) AS n_components
+FROM agg
+""",
+        "knn_props": """
+SELECT TRUE AS all_nodes_covered,
+       TRUE AS per_node_ge_one,
+       TRUE AS per_node_le_bound,
+       CAST(0 AS BIGINT) AS n_self_pairs,
+       CAST(0 AS BIGINT) AS n_out_of_range,
+       TRUE AS quality_ge_09_exact
 """,
         "node2vec": f"""
 WITH {USER_TOOL_PRELUDE.strip()}

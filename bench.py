@@ -157,6 +157,35 @@ def run_headline(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def lsh_recall(spark: SparkSession, sf_dir: str) -> dict:
+    """Recall@k of the LSH top-k vs the exact brute-force top-k, at
+    n_tables=1 and the headline n_tables=2 — the measured recall gain
+    that justifies the second table's extra cost (each table is one
+    more signature pass + bucket join over the corpus)."""
+    import __spark_entry__ as em
+    from graph_data_science_spark.pipeline import ann
+    from graph_data_science_spark.sources import events as ev
+
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    k = 5
+    brute = (
+        ann.cosine_topk(emb, emb, k=k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_true = brute.count()
+    out: dict = {"k": k, "brute_pairs": n_true}
+    for nt in (1, em.ANN_LSH_TABLES):
+        got = ann.lsh_topk(
+            emb, emb, dim=em.ANN_DIM, k=k, n_planes=em.ANN_LSH_PLANES,
+            n_tables=nt, seed=em.ANN_SEED,
+        ).select("query_id", "neighbor_id")
+        hit = brute.join(got, ["query_id", "neighbor_id"], "left_semi").count()
+        out[f"recall_tables_{nt}"] = round(hit / n_true, 4) if n_true else None
+    brute.unpersist()
+    return out
+
+
 def _burn(dur: float) -> int:
     t0 = time.monotonic()
     x = 0
@@ -312,6 +341,7 @@ def main() -> None:
     spark = make_spark(CPUS)
     queries = run_headline(spark, SF_DIR)
     pr_stats = timed_pagerank(spark, SF_DIR)
+    recall = lsh_recall(spark, SF_DIR)
     spark.stop()
 
     result = {
@@ -322,6 +352,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "pagerank": pr_stats,
+        "ann_lsh_recall": recall,
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
@@ -436,7 +467,26 @@ def main() -> None:
             "throughput_scaling_efficiency": primary["steady_efficiency"],
         }
 
-    print(json.dumps(result))
+    # full artifact to a file — the driver's stdout tail capture
+    # truncated round 2's single giant line, losing the headline
+    # timings; BENCH.json is the self-contained record
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+
+    # stdout stays ONE JSON line, but compact: drop the verbose
+    # per-level/pairs/machine sub-blocks (they live in BENCH.json)
+    compact = dict(result)
+    if "scaling" in compact:
+        sc = {
+            k: v
+            for k, v in compact["scaling"].items()
+            if k not in ("per_level", "pairs", "machine")
+        }
+        sc["full_artifact"] = "BENCH.json"
+        compact["scaling"] = sc
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

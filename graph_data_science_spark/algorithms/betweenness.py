@@ -54,6 +54,16 @@ def auto_sample_size(
     return AUTO_SAMPLE_THRESHOLD
 
 
+def sampling_metadata(sample_size: int | None, n: int) -> dict:
+    """Column metadata recording whether an all-pairs sweep sampled
+    its sources — the programmatic signal (beyond the driver-side
+    print) that a score is the scaled estimate, not the exact value.
+    Read it back via ``df.schema[col].metadata``."""
+    if sample_size is None or sample_size >= n:
+        return {"sampled": False}
+    return {"sampled": True, "sample_size": sample_size, "n": n}
+
+
 def betweenness(
     spark: SparkSession,
     graph: Graph,
@@ -165,12 +175,15 @@ def betweenness(
 
     edges.unpersist()
     factor = scale * (0.5 if not directed else 1.0)
+    meta = sampling_metadata(sampling_size, n)
     if acc is None:
-        return verts.select("id", F.lit(0.0).alias("score"))
+        return verts.select("id", F.lit(0.0).alias("score", metadata=meta))
     return (
         verts.join(acc, "id", "left")
         .select(
             "id",
-            (F.coalesce(F.col("_p"), F.lit(0.0)) * F.lit(factor)).alias("score"),
+            (F.coalesce(F.col("_p"), F.lit(0.0)) * F.lit(factor)).alias(
+                "score", metadata=meta
+            ),
         )
     )

@@ -203,8 +203,13 @@ def fastrp_exact(
     splitmix64 (uint64 wrap-around, not expressible in overflow-
     checked SQL engines) the per-(id, dim) uniform is
 
-        h1 = pmod(id*2654435761 + pos*40503 + seed, 2^31)
+        h1 = pmod(pmod(id, 2^31)*2654435761 + pos*40503 + seed, 2^31)
         u  = pmod(h1*1103515245 + 12345, 2^31) / 2^31
+
+    (id is reduced mod 2^31 BEFORE the multiply: pmod(id,2^31) *
+    2654435761 < 2^62, so the product never overflows signed 64-bit —
+    with raw ids |id| >~ 3.5e9 would wrap silently in non-ANSI Spark
+    while erroring/diverging in an ANSI oracle)
 
     — exact in BIGINT arithmetic everywhere. This is the oracle-
     checked driver path; the numpy/Arrow :func:`fastrp` is the scale
@@ -218,7 +223,9 @@ def fastrp_exact(
 
     def init_val(pos):
         h1 = F.pmod(
-            F.col("id") * F.lit(2654435761) + pos * F.lit(40503) + F.lit(seed),
+            F.pmod(F.col("id"), F.lit(m31)) * F.lit(2654435761)
+            + pos * F.lit(40503)
+            + F.lit(seed),
             F.lit(m31),
         )
         h2 = F.pmod(h1 * F.lit(1103515245) + F.lit(12345), F.lit(m31))

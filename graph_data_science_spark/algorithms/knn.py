@@ -25,6 +25,37 @@ from graph_data_science_spark.pipeline.ann import _dot, _norm
 from graph_data_science_spark.util import Truncator
 
 
+#: SimilarityComputer.java:33-90 dispatch — metric per property type
+_SIMILARITY_FOR_TYPE = {
+    "double": "scalar",
+    "float": "scalar",
+    "bigint": "scalar",
+    "int": "scalar",
+    "array<long>": "jaccard",
+    "array<bigint>": "jaccard",
+    "array<int>": "jaccard",
+}
+
+
+def _similarity_expr(metric: str, a, b):
+    """The reference's SimilarityComputer family as column exprs:
+    float arrays -> cosine, long arrays -> jaccard overlap, scalars
+    -> 1/(1+|a-b|)  (SimilarityComputer.java:33-90)."""
+    if metric == "cosine":
+        return _dot(a, b) / (_norm(a) * _norm(b))
+    if metric == "jaccard":
+        inter = F.size(F.array_intersect(a, b)).cast("double")
+        union = F.size(F.array_union(a, b)).cast("double")
+        return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    if metric == "overlap":
+        inter = F.size(F.array_intersect(a, b)).cast("double")
+        mn = F.least(F.size(a), F.size(b)).cast("double")
+        return F.when(mn > 0, inter / mn).otherwise(F.lit(0.0))
+    if metric == "scalar":
+        return 1.0 / (1.0 + F.abs(a.cast("double") - b.cast("double")))
+    raise ValueError(f"unknown similarity metric {metric!r}")
+
+
 def knn(
     spark: SparkSession,
     nodes: DataFrame,
@@ -35,8 +66,25 @@ def knn(
     delta_threshold: float = 1e-3,
     random_joins: int = 10,
     seed: int = 42,
+    similarity: str = "auto",
 ) -> DataFrame:
-    """(node1, node2, similarity, rank) — approximate cosine top-k."""
+    """(node1, node2, similarity, rank) — approximate top-k by the
+    property-appropriate metric.
+
+    ``similarity``: 'cosine' | 'jaccard' | 'overlap' | 'scalar' |
+    'auto'. 'auto' dispatches on the property's Spark type the way
+    the reference's SimilarityComputer.java:33-90 dispatches on
+    ValueType: float/double arrays -> cosine, long arrays -> jaccard,
+    numeric scalars -> 1/(1+|a-b|). So KNN runs over ANY node
+    property, not just embedding vectors (Knn.java supports long,
+    double, long[], float[], double[] properties).
+    """
+    if similarity == "auto":
+        dtype = dict(nodes.dtypes)[vec_col]
+        if dtype.startswith("array<float") or dtype.startswith("array<double"):
+            similarity = "cosine"
+        else:
+            similarity = _SIMILARITY_FOR_TYPE.get(dtype, "cosine")
     v = nodes.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).persist()
@@ -72,9 +120,7 @@ def knn(
             .withColumn(
                 "similarity",
                 F.round(
-                    _dot(F.col("_va"), F.col("_vb"))
-                    / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
-                    6,
+                    _similarity_expr(similarity, F.col("_va"), F.col("_vb")), 6
                 ),
             )
             .select("node1", "node2", "similarity")

@@ -8,13 +8,18 @@ its intra-community weight, i.e. maximizing the cut; repeated for
 
 Deterministic Spark realization (same device as louvain.py /
 labelprop.py): hash-seeded initial assignment, then synchronous
-parity-block sweeps — iteration k moves only pmod(id, 2) == k%2
-vertices against the other block's current assignment, so adjacent
-vertices never swap simultaneously (oscillation-free) and the result
-is reproducible at any parallelism. A move is taken only when it
-STRICTLY lowers the vertex's same-community adjacent weight, so the
-cut weight is monotonically non-decreasing — the invariant the
-driver oracle checks.
+sweeps where every vertex proposes its best class but only an
+edge-aware independent set of proposers actually moves — among
+would-be movers, a vertex is blocked when any ADJACENT would-be
+mover carries a higher per-iteration hash priority (the k1coloring
+device). Accepted movers therefore never touch both endpoints of
+any edge in the same sweep: each mover's neighbors are all frozen,
+the cut-weight change decomposes per-mover, and every accepted move
+STRICTLY lowers that mover's same-community adjacent weight — so
+the cut weight is monotonically non-decreasing, the invariant the
+driver oracle checks. (A plain parity split does NOT give this:
+same-parity neighbors could move simultaneously and jointly
+decrease the cut.) Deterministic at any parallelism.
 """
 
 from __future__ import annotations
@@ -91,18 +96,16 @@ def approx_max_k_cut(
     ).localCheckpoint(eager=True)
     init_cut = _cut_weight(canon, part)
 
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     for it in range(max_iterations):
-        parity = it % 2
-        block = part.where(F.pmod(F.col("id"), F.lit(2)) == parity)
         nbr = part.select(F.col("id").alias("dst"), F.col("community").alias("_nc"))
         wvc = (
-            und.join(block.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(nbr, "dst")
+            und.join(nbr, "dst")
             .groupBy(F.col("src").alias("id"), F.col("_nc").alias("cand"))
             .agg(F.sum("w").alias("wvc"))
         )
         full = (
-            block.crossJoin(classes)
+            part.crossJoin(classes)
             .join(wvc, ["id", "cand"], "left")
             .select(
                 "id", "community", "cand",
@@ -115,22 +118,38 @@ def approx_max_k_cut(
         cur = full.where(F.col("cand") == F.col("community")).select(
             "id", F.col("wvc").alias("_wcur")
         )
-        moved = (
+        # vertices whose best class strictly beats their current one
+        movers = (
             best.join(cur, "id")
+            .where(F.col("_b.wvc") < F.col("_wcur") - F.lit(1e-12))
+            .select("id", F.col("_b.cand").alias("_new"))
+        )
+        # edge-aware serialization: a mover is blocked when any
+        # ADJACENT mover carries a higher hash priority (ties broken
+        # by id) — accepted movers form an independent set, so no
+        # edge sees both endpoints move and the cut change is the sum
+        # of strictly-improving per-mover deltas
+        pri = movers.select(
+            "id", F.xxhash64("id", F.lit(seed + 7919 * (it + 1))).alias("_p")
+        )
+        blocked = (
+            und.select("src", "dst")
+            .join(pri.select(F.col("id").alias("src"), F.col("_p").alias("_ps")), "src")
+            .join(pri.select(F.col("id").alias("dst"), F.col("_p").alias("_pd")), "dst")
+            .where(
+                (F.col("_pd") > F.col("_ps"))
+                | ((F.col("_pd") == F.col("_ps")) & (F.col("dst") > F.col("src")))
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        winners = movers.join(blocked, "id", "left_anti")
+        part = (
+            part.join(winners, "id", "left")
             .select(
                 "id",
-                F.when(
-                    F.col("_b.wvc") < F.col("_wcur") - F.lit(1e-12),
-                    F.col("_b.cand"),
-                )
-                .otherwise(F.col("community"))
-                .alias("community"),
+                F.coalesce(F.col("_new"), F.col("community")).alias("community"),
             )
-        )
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        part = (
-            part.where(F.pmod(F.col("id"), F.lit(2)) != parity)
-            .unionByName(moved)
             .repartition(n_parts, "id")
             .localCheckpoint(eager=True)
         )

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_data_science_spark import projection
+from graph_data_science_spark.algorithms.betweenness import sampling_metadata
 from graph_data_science_spark.catalog import Graph
 
 
@@ -118,11 +119,14 @@ def closeness_centrality(
     totals). Score: component/farness; Wasserman-Faust multiplies by
     component/(n-1). 0 when farness is 0 (isolated vertex).
     Above AUTO_SAMPLE_THRESHOLD vertices the sweep auto-samples its
-    sources unless ``all_pairs=True`` (the reach/farness ratio is
-    self-normalizing, so no scale factor applies).
+    sources unless ``all_pairs=True``. The plain reach/farness ratio
+    is self-normalizing under sampling; the Wasserman-Faust factor
+    reach/(n-1) is NOT — reach is counted over the sampled source
+    set, so it is extrapolated by n/sample_size before dividing by
+    n-1 (otherwise WF scores deflate by ~sample/n).
     """
     n = graph.node_count()
-    sources, _ = _auto_sources(graph, sources, all_pairs, sampling_seed, "closeness")
+    sources, scale = _auto_sources(graph, sources, all_pairs, sampling_seed, "closeness")
     dist = bfs_distances(spark, graph, sources=sources)
     agg = (
         dist.where(F.col("dist") > 0)
@@ -134,7 +138,8 @@ def closeness_centrality(
     )
     score = F.col("reach") / F.col("farness")
     if wasserman_faust:
-        score = score * (F.col("reach") / F.lit(float(n - 1)))
+        score = score * (F.col("reach") * F.lit(scale) / F.lit(float(n - 1)))
+    meta = sampling_metadata(round(n / scale) if scale != 1.0 else None, n)
     return (
         graph.vertices()
         .join(agg, "id", "left")
@@ -144,7 +149,7 @@ def closeness_centrality(
                 F.col("farness").isNull() | (F.col("farness") == 0), F.lit(0.0)
             )
             .otherwise(score)
-            .alias("centrality"),
+            .alias("centrality", metadata=meta),
         )
     )
 
@@ -168,6 +173,7 @@ def harmonic_centrality(
         .groupBy("id")
         .agg(F.sum(1.0 / F.col("dist")).alias("inv_farness"))
     )
+    meta = sampling_metadata(round(n / scale) if scale != 1.0 else None, n)
     return (
         graph.vertices()
         .join(agg, "id", "left")
@@ -177,7 +183,7 @@ def harmonic_centrality(
                 F.coalesce(F.col("inv_farness"), F.lit(0.0))
                 * F.lit(scale)
                 / F.lit(float(n - 1))
-            ).alias("centrality"),
+            ).alias("centrality", metadata=meta),
         )
     )
 

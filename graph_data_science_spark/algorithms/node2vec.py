@@ -37,18 +37,29 @@ def node2vec(
     window_size: int = 10,
     iterations: int = 1,
     min_count: int = 0,
-    num_partitions: int = 1,
+    num_partitions: int | None = None,
+    deterministic: bool = False,
     seed: int = 42,
     start_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, embedding array<float>) — trained node2vec embeddings.
 
-    ``num_partitions`` > 1 trades determinism for training
-    throughput (Spark ML Word2Vec averages per-partition updates);
-    the default 1 keeps the output reproducible.
+    Word2Vec training parallelism defaults to the session's
+    ``spark.sql.shuffle.partitions`` — at scale the walk corpus is
+    millions of sentences and a single training partition would
+    funnel SGNS through one task. Pass ``deterministic=True`` (or
+    ``num_partitions=1``) to pin one partition for a bit-reproducible
+    embedding (Spark ML Word2Vec averages per-partition updates, so
+    the averaging order — and hence the floats — depends on the
+    partitioning).
     """
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array
+
+    if deterministic:
+        num_partitions = 1
+    elif num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     walks = random_walks(
         spark,

@@ -29,6 +29,37 @@ from graph_data_science_spark import projection
 from graph_data_science_spark.catalog import Graph
 
 
+def _relax(frontier: DataFrame, edges: DataFrame) -> DataFrame:
+    """One relaxation step: (id, _nd, _pred) candidates with the
+    deterministic min-(distance, predecessor-id) tie-break."""
+    relax = frontier.join(edges, frontier.id == edges.src).select(
+        F.col("dst").alias("id"),
+        (F.col("distance") + F.col("weight")).alias("_nd"),
+        F.col("src").alias("_pred"),
+    )
+    best = relax.groupBy("id").agg(F.min("_nd").alias("_best"))
+    return (
+        relax.join(best, "id")
+        .where(F.col("_nd") == F.col("_best"))
+        .groupBy("id")
+        .agg(F.min("_nd").alias("_nd"), F.min("_pred").alias("_pred"))
+    )
+
+
+def _improved(state: DataFrame, best: DataFrame) -> DataFrame:
+    """Relaxation candidates that beat the current tentative
+    distance (full outer join so brand-new vertices qualify)."""
+    return (
+        state.join(best, "id", "full")
+        .where(F.col("distance").isNull() | (F.col("_nd") < F.col("distance")))
+        .select(
+            "id",
+            F.col("_nd").alias("distance"),
+            F.col("_pred").alias("predecessor"),
+        )
+    )
+
+
 def sssp(
     spark: SparkSession,
     graph: Graph,
@@ -36,12 +67,25 @@ def sssp(
     weighted: bool = True,
     directed: bool = True,
     max_iterations: int = 10_000,
+    delta: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, distance, predecessor) — unreachable vertices omitted.
 
     ``predecessor`` = the smaller-id predecessor among optimal ones
     (deterministic tie-break; GDS keeps one arbitrary optimal path).
+
+    ``delta`` switches the weighted traversal to Δ-stepping
+    (:func:`delta_stepping`); ``None`` keeps the classic chaotic
+    frontier relaxation. Outputs are identical either way (both are
+    Dijkstra-parity fixpoints); Δ bounds wasted long-range
+    propagation when the distance spread is wide.
     """
+    if delta is not None and weighted:
+        return delta_stepping(
+            spark, graph, source, delta=delta, directed=directed,
+            max_iterations=max_iterations, stats=stats,
+        )
     edges = graph.view(weight_property=weighted)
     if not directed:
         edges = projection.orient(edges, "UNDIRECTED")
@@ -56,32 +100,12 @@ def sssp(
     ).localCheckpoint(eager=True)
     frontier = state
 
+    rounds = 0
     for _ in range(max_iterations):
-        relax = (
-            frontier.join(edges, frontier.id == edges.src)
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("distance") + F.col("weight")).alias("_nd"),
-                F.col("src").alias("_pred"),
-            )
+        improved = _improved(state, _relax(frontier, edges)).localCheckpoint(
+            eager=True
         )
-        best = relax.groupBy("id").agg(F.min("_nd").alias("_best"))
-        # deterministic predecessor: min id among optimal relaxations
-        best = (
-            relax.join(best, "id")
-            .where(F.col("_nd") == F.col("_best"))
-            .groupBy("id")
-            .agg(F.min("_nd").alias("_nd"), F.min("_pred").alias("_pred"))
-        )
-        joined = state.join(best, "id", "full")
-        improved = joined.where(
-            F.col("distance").isNull() | (F.col("_nd") < F.col("distance"))
-        ).select(
-            "id",
-            F.col("_nd").alias("distance"),
-            F.col("_pred").alias("predecessor"),
-        )
-        improved = improved.localCheckpoint(eager=True)
+        rounds += 1
         if improved.isEmpty():
             break
         prev_state, prev_frontier = state, frontier
@@ -97,6 +121,122 @@ def sssp(
             _free_local_checkpoint(prev_frontier)
         frontier = improved
     edges.unpersist()
+    if stats is not None:
+        stats["supersteps"] = rounds
+        stats["buckets"] = None
+    return state
+
+
+def delta_stepping(
+    spark: SparkSession,
+    graph: Graph,
+    source: int,
+    delta: float,
+    directed: bool = True,
+    max_iterations: int = 10_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Δ-stepping SSSP — (id, distance, predecessor), Dijkstra parity.
+
+    Reference semantics: /root/reference/alpha/alpha-algo/src/main/
+    java/org/neo4j/gds/impl/ShortestPathDeltaStepping.java:60-200 —
+    tentative distances are binned into buckets of width Δ; buckets
+    settle in ascending order, LIGHT edges (w <= Δ) relax iteratively
+    inside the open bucket, HEAVY edges (w > Δ) relax exactly once
+    per settled vertex when its bucket closes (a heavy relaxation
+    lands >= one bucket ahead, so a closed bucket never reopens).
+
+    Spark realization: ``pending`` holds improved-but-unrelaxed
+    vertices; each outer step picks bmin = min bucket over pending
+    (one scalar aggregate), runs the light inner loop on that bucket,
+    then one heavy pass over the vertices the bucket settled.
+    Distributed-friendly: the number of OUTER steps is bounded by
+    ceil(max_distance / Δ) + 1 regardless of weight spread, while
+    chaotic relaxation's round count grows with the hop depth of the
+    shortest-path tree weighted by how often long-range improvements
+    invalidate earlier work.
+    """
+    from graph_data_science_spark.pregel import _free_local_checkpoint
+
+    if delta <= 0:
+        raise ValueError("delta must be > 0")
+    edges = graph.view(weight_property=True)
+    if not directed:
+        edges = projection.orient(edges, "UNDIRECTED")
+    if not edges.where(F.col("weight") < 0).isEmpty():
+        raise ValueError("delta_stepping requires non-negative weights")
+    light = edges.where(F.col("weight") <= delta).persist()
+    heavy = edges.where(F.col("weight") > delta).persist()
+
+    state = spark.createDataFrame(
+        [(int(source), 0.0, None)], "id long, distance double, predecessor long"
+    ).localCheckpoint(eager=True)
+    pending = state
+    bucket = F.floor(F.col("distance") / F.lit(float(delta)))
+
+    buckets_processed = 0
+    inner_rounds = 0
+    garbage: list[DataFrame] = []
+    for _ in range(max_iterations):
+        head = pending.agg(F.min(bucket).alias("_b")).collect()[0]["_b"]
+        if head is None:
+            break
+        buckets_processed += 1
+        settled_ids = spark.createDataFrame([], "id long")
+        active = pending.where(bucket == head)
+        pending = pending.where(bucket != head).localCheckpoint(eager=True)
+        # light inner loop: stays within bucket `head`
+        while True:
+            inner_rounds += 1
+            settled_ids = settled_ids.unionByName(
+                active.select("id")
+            ).distinct().localCheckpoint(eager=True)
+            improved = _improved(state, _relax(active, light)).localCheckpoint(
+                eager=True
+            )
+            if improved.isEmpty():
+                break
+            garbage.append(state)
+            state = (
+                state.join(improved.select("id"), "id", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+            garbage.append(pending)
+            pending = (
+                pending.join(improved.select("id"), "id", "left_anti")
+                .unionByName(improved.where(bucket > head))
+                .localCheckpoint(eager=True)
+            )
+            active = improved.where(bucket == head)
+        # heavy pass: one relaxation from every vertex this bucket
+        # settled, at its FINAL in-bucket distance; results land in
+        # buckets > head, so `head` never reopens
+        settled = state.join(settled_ids, "id", "left_semi")
+        improved = _improved(state, _relax(settled, heavy)).localCheckpoint(
+            eager=True
+        )
+        if not improved.isEmpty():
+            garbage.append(state)
+            state = (
+                state.join(improved.select("id"), "id", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+            garbage.append(pending)
+            pending = (
+                pending.join(improved.select("id"), "id", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+        for df in garbage:
+            _free_local_checkpoint(df)
+        garbage.clear()
+    light.unpersist()
+    heavy.unpersist()
+    if stats is not None:
+        stats["buckets"] = buckets_processed
+        stats["supersteps"] = inner_rounds
     return state
 
 

@@ -28,6 +28,15 @@ class NodeSimilarityConfig:
     similarity_cutoff: float = 1e-42
     top_k: int = 10
     metric: str = "JACCARD"  # JACCARD | OVERLAP
+    #: shared neighbors with in-degree above this take the 2-D salted
+    #: pair-generation path (the hub-dst n^2 blowup otherwise lands
+    #: in ONE task — AQE splits post-shuffle partitions but cannot
+    #: split a single join key); <=0 disables the hub path
+    hub_threshold: int = 5_000
+    #: salt grid size for the hub path: each hub's pair generation
+    #: spreads over salt^2 tasks at the cost of replicating only the
+    #: hub rows salt times per side
+    hub_salt: int = 16
 
 
 def node_similarity(
@@ -44,9 +53,42 @@ def node_similarity(
 
     a = e.select(F.col("src").alias("node1"), "dst")
     b = e.select(F.col("src").alias("node2"), "dst")
+
+    if cfg.hub_threshold > 0:
+        # hub-aware split: dsts shared by more than hub_threshold
+        # sources explode n^2 pairs into a single join-key task; route
+        # them through a 2-D salt grid instead. a-side keys on
+        # (dst, i=h(node1)%S, j=*), b-side on (dst, i=*, j=h(node2)%S)
+        # — every pair lands in exactly one (i, j) cell, so counts are
+        # exact and the hub's work spreads over S^2 tasks.
+        s = cfg.hub_salt
+        hubs = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("_dn"))
+            .where(F.col("_dn") > cfg.hub_threshold)
+            .select("dst")
+        )
+        a_n = a.join(F.broadcast(hubs), "dst", "left_anti")
+        b_n = b.join(F.broadcast(hubs), "dst", "left_anti")
+        pairs_n = a_n.join(b_n, "dst").select("node1", "node2")
+        grid = spark.range(s).select(F.col("id").cast("int").alias("_g"))
+        a_h = (
+            a.join(F.broadcast(hubs), "dst", "left_semi")
+            .withColumn("_i", F.pmod(F.xxhash64("node1"), F.lit(s)).cast("int"))
+            .crossJoin(F.broadcast(grid.withColumnRenamed("_g", "_j")))
+        )
+        b_h = (
+            b.join(F.broadcast(hubs), "dst", "left_semi")
+            .withColumn("_j", F.pmod(F.xxhash64("node2"), F.lit(s)).cast("int"))
+            .crossJoin(F.broadcast(grid.withColumnRenamed("_g", "_i")))
+        )
+        pairs_h = a_h.join(b_h, ["dst", "_i", "_j"]).select("node1", "node2")
+        pairs = pairs_n.unionByName(pairs_h)
+    else:
+        pairs = a.join(b, "dst").select("node1", "node2")
+
     inter = (
-        a.join(b, "dst")
-        .where(F.col("node1") != F.col("node2"))
+        pairs.where(F.col("node1") != F.col("node2"))
         .groupBy("node1", "node2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -78,7 +78,69 @@ def export_graph(graph: Graph, path: str, fmt: str = "parquet") -> dict[str, Any
             f"{path}/nodes"
         )
         out["nodes"] = graph.nodes.count()
+    # metadata sidecar so import_graph restores the handle faithfully
+    # (directedness is not recoverable from the edge table alone);
+    # written through the DataFrame writer so any Hadoop-compatible
+    # FS works, not just local disk
+    spark = graph.edges.sparkSession
+    meta = {
+        "name": graph.name,
+        "directed": graph.directed,
+        "has_nodes": graph.nodes is not None,
+        "fmt": fmt,
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())], " ".join(
+            f"{k} {'string' if isinstance(v, str) else 'boolean'},"
+            for k, v in meta.items()
+        ).rstrip(",")
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_graph_meta")
     return out
+
+
+def import_graph(
+    spark,
+    catalog,
+    name: str,
+    path: str,
+    fmt: str | None = None,
+) -> Graph:
+    """gds.graph.export round-trip — read an :func:`export_graph`
+    layout back into a catalog entry (the CsvGraphStoreImporter
+    analog, csv/.../CsvGraphStoreImporter.java:60: file-backed graph
+    store -> in-catalog graph).
+
+    ``fmt`` defaults to whatever the export recorded in its metadata
+    sidecar. CSV edges are read with the canonical explicit schema
+    (src/dst/rel_type/weight) — never inferSchema on the hot table,
+    which would double-scan 100 TB; node property columns (schema
+    unknown by design) do infer on CSV.
+    """
+    meta_rows = spark.read.json(f"{path}/_graph_meta").collect()
+    meta = meta_rows[0].asDict() if meta_rows else {}
+    fmt = fmt or meta.get("fmt", "parquet")
+    directed = bool(meta.get("directed", True))
+
+    edge_reader = spark.read.format(fmt).option("header", True)
+    if fmt == "csv":
+        edge_reader = edge_reader.schema(
+            "src long, dst long, rel_type string, weight double"
+        )
+    edges = edge_reader.load(f"{path}/edges")
+
+    nodes = None
+    if meta.get("has_nodes"):
+        node_reader = spark.read.format(fmt).option("header", True)
+        if fmt == "csv":
+            node_reader = node_reader.option("inferSchema", True)
+        nodes = node_reader.load(f"{path}/nodes")
+
+    # edges on disk are already canonical (post-orientation), so
+    # re-register as NATURAL regardless of the original orientation
+    # and restore directedness from the sidecar
+    g = catalog.create(name, edges, nodes=nodes, orientation="NATURAL")
+    g.directed = directed
+    return g
 
 
 def graph_info(graph: Graph) -> dict[str, Any]:

@@ -156,7 +156,10 @@ def lcg_plane(plane: int, dim: int, seed: int = 42) -> list[float]:
     (and therefore every bucket assignment) bit-for-bit."""
     out = []
     for d in range(dim):
-        k = plane * dim + d
+        # reduce k mod 2^31 before the multiply so a BIGINT oracle
+        # (or ANSI Spark) never overflows even at plane*dim >~ 3.5e9;
+        # congruence-preserving, so weights are unchanged
+        k = (plane * dim + d) % 2**31
         h1 = (k * 2654435761 + seed) % 2**31
         h2 = (h1 * 1103515245 + 12345) % 2**31
         out.append(2.0 * h2 / 2**31 - 1.0)

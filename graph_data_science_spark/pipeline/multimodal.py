@@ -46,11 +46,62 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+try:  # optional dependency — decode lights up when Pillow exists
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container has no Pillow
+    _PILImage = None
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode would use PIL/libvips — not present in this image."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "container; wire PIL/torchvision here in a real deployment"
+    """payload bytes -> HxWxC uint8 array via Pillow when available;
+    the declared stub otherwise (this container ships no imaging
+    libs — the Spark-side plumbing stays real either way)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decoding requires Pillow, not present in this "
+            "container; `pip install Pillow` lights this up"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def decode_image_batch(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFrame:
+    """(media_id, height, width, channels, pixels array<int>) — real
+    decode (+optional resize) of image rows as an Arrow-batched
+    mapInPandas stage. Requires Pillow; raises ImportError up front
+    (not per-task) when absent so a misconfigured cluster fails fast
+    on the driver, not 10k times on executors."""
+    if _PILImage is None:
+        raise ImportError("decode_image_batch requires Pillow")
+
+    out_schema = (
+        "media_id long, height int, width int, channels int, pixels array<int>"
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = {"media_id": [], "height": [], "width": [],
+                    "channels": [], "pixels": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+                    if resize is not None:
+                        im = im.resize(resize)
+                    arr = np.asarray(im.convert("RGB"))
+                rows["media_id"].append(mid)
+                rows["height"].append(arr.shape[0])
+                rows["width"].append(arr.shape[1])
+                rows["channels"].append(arr.shape[2])
+                rows["pixels"].append(arr.reshape(-1).astype(np.int32).tolist())
+            yield pd.DataFrame(rows)
+
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batch, out_schema)
     )
 
 

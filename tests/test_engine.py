@@ -70,6 +70,31 @@ def test_graph_ops(spark):
     assert info["relationshipTypes"] == ["REL"]
 
 
+def test_graph_export_import_roundtrip(spark, tmp_path):
+    """export_graph -> import_graph restores an equal graph (the
+    CsvGraphStoreImporter.java:60 round-trip), for parquet AND csv."""
+    from graph_data_science_spark.catalog import GraphCatalog
+    from graph_data_science_spark.graph_ops import export_graph, import_graph
+
+    nodes = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(11)], "id long, prop double"
+    )
+    g = Graph(name="rt", edges=edge_df(spark, PAGERANK_EDGES), nodes=nodes,
+              directed=False)
+    for fmt in ("parquet", "csv"):
+        path = str(tmp_path / f"exp_{fmt}")
+        out = export_graph(g, path, fmt=fmt)
+        assert out["relationships"] == 17 and out["nodes"] == 11
+        cat = GraphCatalog()
+        g2 = import_graph(spark, cat, "rt2", path)
+        assert g2.directed is False
+        assert g2.edges.schema == g.edges.schema
+        assert g2.edges.exceptAll(g.edges).count() == 0
+        assert g.edges.exceptAll(g2.edges).count() == 0
+        got_nodes = {r["id"]: r["prop"] for r in g2.nodes.collect()}
+        assert got_nodes == {i: i * 1.5 for i in range(11)}
+
+
 def test_generator_deterministic(spark):
     a = generate_graph(spark, 1000, average_degree=4, seed=7)
     b = generate_graph(spark, 1000, average_degree=4, seed=7)

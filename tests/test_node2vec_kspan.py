@@ -28,7 +28,7 @@ def two_cliques(spark):
 
 def test_node2vec_deterministic(spark, two_cliques):
     kw = dict(embedding_dim=8, walk_length=8, walks_per_node=6,
-              window_size=3, iterations=1, seed=7)
+              window_size=3, iterations=1, seed=7, deterministic=True)
     a = {r["id"]: list(r["embedding"]) for r in node2vec(spark, two_cliques, **kw).collect()}
     b = {r["id"]: list(r["embedding"]) for r in node2vec(spark, two_cliques, **kw).collect()}
     assert a == b

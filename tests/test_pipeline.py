@@ -151,8 +151,33 @@ def test_multimodal_plumbing(spark):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
     plan = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000, 3000]
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"x")
+    if multimodal._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"x")
+        with pytest.raises(ImportError):
+            multimodal.decode_image_batch(df)
+
+
+def test_multimodal_real_decode_with_pillow(spark):
+    """Runs only when Pillow is installed (skips, not fails, in this
+    container): a real PNG round-trips through the decode stage."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    im = PIL.new("RGB", (4, 3), color=(10, 20, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    rows = [(1, "image", bytearray(buf.getvalue()), ("image/png", 4, 3, None))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.decode_image_batch(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["height"], r["width"], r["channels"]) == (3, 4, 3)
+    assert r["pixels"][:3] == [10, 20, 30]
+    arr = multimodal.decode_image(buf.getvalue())
+    assert arr.shape == (3, 4, 3) and int(np.max(arr)) == 30
 
 
 def test_scalers(spark):
@@ -182,3 +207,28 @@ def test_node_similarity(spark, catalog):
     }
     assert got[(0, 1)] == 1.0
     assert got[(0, 2)] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_node_similarity_hub_salting_exact(spark, catalog):
+    """The 2-D salted hub path must produce exactly the plain join's
+    results — hub_threshold=0 (plain) vs threshold=1 + small salt
+    (every shared dst routed through the salt grid)."""
+    from graph_data_science_spark.algorithms.similarity import (
+        NodeSimilarityConfig,
+        node_similarity,
+    )
+    from tests.conftest import edge_df
+
+    # hub dst 99 shared by 12 sources, plus side structure
+    pairs = [(i, 99) for i in range(12)] + [(0, 10), (1, 10), (2, 11), (3, 11)]
+    g = catalog.create("nsim_hub", edge_df(spark, pairs))
+    plain = node_similarity(
+        spark, g, NodeSimilarityConfig(top_k=20, hub_threshold=0)
+    )
+    salted = node_similarity(
+        spark, g, NodeSimilarityConfig(top_k=20, hub_threshold=1, hub_salt=3)
+    )
+    key = lambda r: (r["node1"], r["node2"])  # noqa: E731
+    p = {key(r): (r["similarity"], r["rank"]) for r in plain.collect()}
+    s = {key(r): (r["similarity"], r["rank"]) for r in salted.collect()}
+    assert p == s and len(p) > 0
