@@ -1230,6 +1230,26 @@ def _q_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS traversal invariant oracle (Traverse.java:38): the walk
+    from the min user over the undirected user-tool graph visits
+    exactly the source's connected component (size SQL-computable by
+    BFS unroll), starts at the source, and assigns a dense
+    0..n-1 visit order."""
+    from graph_data_science_spark.algorithms.traverse import dfs
+
+    ev_df = ev.load_table(spark, sf_dir, "events")
+    lo = int(ev_df.agg(F.min("user_id")).collect()[0][0])
+    g = _user_tool_graph(spark, sf_dir)
+    res = dfs(spark, g, source=lo, directed=False, max_nodes=1_000_000)
+    return res.agg(
+        F.count(F.lit(1)).alias("n_visited"),
+        F.min(F.when(F.col("visit_order") == 0, F.col("id"))).alias("first_id"),
+        (F.max("visit_order") == F.count(F.lit(1)) - 1).alias("order_dense"),
+        F.countDistinct("visit_order").alias("n_orders"),
+    )
+
+
 KNNP_K = 3
 
 
@@ -1604,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_path": _q_collapse_path,
         "sssp": _q_sssp,
         "astar": _q_astar,
+        "dfs": _q_dfs,
         "kspanning": _q_kspanning,
         "knn_props": _q_knn_props,
         "louvain": _q_louvain,
@@ -2118,6 +2139,21 @@ SELECT CAST(d.dist AS DOUBLE) AS cost,
        TRUE AS path_valid,
        TRUE AS endpoints_ok
 FROM d{BFS_LEVELS} d WHERE d.id = (SELECT hi FROM ends)
+""",
+        "dfs": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+ends AS MATERIALIZED (
+  SELECT MIN(user_id) AS lo FROM events
+),
+seed AS MATERIALIZED (
+  SELECT lo AS source, lo AS id, 0 AS dist FROM ends
+),
+{_bfs_dist_ctes("utu", "seed", BFS_LEVELS)}
+SELECT COUNT(*) AS n_visited,
+       (SELECT lo FROM ends) AS first_id,
+       TRUE AS order_dense,
+       COUNT(*) AS n_orders
+FROM d{BFS_LEVELS}
 """,
         "kspanning": f"""
 WITH {USER_TOOL_PRELUDE.strip()},

@@ -175,13 +175,20 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> dict:
     )
     n_true = brute.count()
     out: dict = {"k": k, "brute_pairs": n_true}
-    for nt in (1, em.ANN_LSH_TABLES):
+    configs = (
+        (1, 0), (em.ANN_LSH_TABLES, 0),
+        (em.ANN_LSH_TABLES, 1), (em.ANN_LSH_TABLES, 2),
+    )
+    for nt, probe in configs:
+        t0 = time.monotonic()
         got = ann.lsh_topk(
             emb, emb, dim=em.ANN_DIM, k=k, n_planes=em.ANN_LSH_PLANES,
-            n_tables=nt, seed=em.ANN_SEED,
+            n_tables=nt, seed=em.ANN_SEED, probe_hamming=probe,
         ).select("query_id", "neighbor_id")
         hit = brute.join(got, ["query_id", "neighbor_id"], "left_semi").count()
-        out[f"recall_tables_{nt}"] = round(hit / n_true, 4) if n_true else None
+        key = f"tables_{nt}" + (f"_probe_{probe}" if probe else "")
+        out[f"recall_{key}"] = round(hit / n_true, 4) if n_true else None
+        out[f"sec_{key}"] = round(time.monotonic() - t0, 2)
     brute.unpersist()
     return out
 

@@ -86,18 +86,39 @@ def _modularity(edges_und: DataFrame, comm: DataFrame, m2: float) -> float:
 def _local_moving(
     edges_und: DataFrame, m2: float, max_iterations: int
 ) -> DataFrame:
-    """One Louvain level; returns (id, community)."""
-    n_parts = int(
-        edges_und.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    """One Louvain level; returns (id, community).
+
+    Deterministic parity half-sweeps (iteration k moves only
+    pmod(id, 2) == k%2 vertices against the frozen other block), with
+    two devices added after profiling the user-tool graph:
+
+    * Per-sweep MODULARITY tracking with best-state retention: the
+      synchronous half-sweeps can enter a limit cycle (measured: a
+      period-4 cycle re-moving ~half the vertices forever, never
+      hitting the old two-zero-sweep exit), so each sweep's Q is
+      computed (one cheap aggregate against the materialized state)
+      and the loop stops after `PATIENCE` consecutive sweeps without
+      improvement, returning the best-Q assignment seen — which is
+      also what a sequential Louvain's strictly-improving pass would
+      have kept.
+    * Sweep state truncated through util.Truncator (parquet
+      round-trip every few sweeps): a pure localCheckpoint chain
+      degrades superlinearly around generation ~9 in Spark 4.1 local
+      mode (measured: 0.7 s/ckpt climbing to 15 s).
+    """
+    from graph_data_science_spark.util import Truncator
+
+    PATIENCE = 2
+    spark = edges_und.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     k = edges_und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
     comm = k.select("id", F.col("id").alias("community"), "k").localCheckpoint(True)
+    tr = Truncator(spark, every=4)
+    best_q = _modularity(edges_und, comm.select("id", "community"), m2)
+    best_comm = comm
+    since_best = 0
 
-    no_move_streak = 0
     for it in range(max_iterations):
-        # one deterministic half-sweep per iteration (even ids on
-        # even iterations, odd on odd) — half the Spark jobs of a
-        # double sweep, same oscillation guarantee over two rounds
         parity = it % 2
         tot = comm.groupBy("community").agg(F.sum("k").alias("tot"))
         c_nbr = comm.select(
@@ -107,9 +128,8 @@ def _local_moving(
         # w(v, c) over neighbor communities of block vertices
         # (self-loops stay in k but are not "neighbors in c")
         wvc = (
-            edges_und.where(F.col("src") != F.col("dst")).join(
-                block.select(F.col("id").alias("src")), "src", "left_semi"
-            )
+            edges_und.where(F.col("src") != F.col("dst"))
+            .join(block.select(F.col("id").alias("src")), "src", "left_semi")
             .join(c_nbr, "dst")
             .groupBy(F.col("src").alias("id"), F.col("_nc").alias("cand"))
             .agg(F.sum("w").alias("wvc"))
@@ -164,34 +184,35 @@ def _local_moving(
                     F.col("_best"),
                 ).otherwise(F.col("community")),
             )
-            .select("id", F.col("_new").alias("community"), "k",
-                    (F.col("_new") != F.col("community")).alias("_moved"))
+            .select("id", F.col("_new").alias("community"), "k")
         )
-        decide = decide.localCheckpoint(True)  # one execution per sweep
-        moved = decide.agg(
-            F.sum(F.col("_moved").cast("long"))
-        ).collect()[0][0] or 0
         # repartition: union sums its children's partition counts, so
         # without this the count doubles per sweep (exponential tasks)
         prev_comm = comm
-        comm = (
+        comm = tr.cut(  # eager; bounds the checkpoint chain
             comm.where(F.pmod(F.col("id"), F.lit(2)) != parity)
             .select("id", "community", "k")
-            .unionByName(decide.select("id", "community", "k"))
+            .unionByName(decide)
             .repartition(n_parts, "id")
-            .localCheckpoint(True)
         )
         # free superseded sweep snapshots deterministically (see
         # pregel._free_local_checkpoint: the lazy ContextCleaner
         # otherwise reclaims them mid-sweep as wall spikes)
         from graph_data_science_spark.pregel import _free_local_checkpoint
 
-        _free_local_checkpoint(decide)
-        _free_local_checkpoint(prev_comm)
-        no_move_streak = no_move_streak + 1 if int(moved) == 0 else 0
-        if no_move_streak >= 2:  # a full even+odd sweep without movement
-            break
-    return comm.select("id", "community")
+        if best_comm is not prev_comm:
+            _free_local_checkpoint(prev_comm)
+        q = _modularity(edges_und, comm.select("id", "community"), m2)
+        if q > best_q + 1e-12:
+            best_q, best_comm, since_best = q, comm, 0
+        else:
+            since_best += 1
+            if since_best >= PATIENCE:
+                break
+    # detach the result from the Truncator's scratch dir before close
+    out = best_comm.select("id", "community").localCheckpoint(eager=True)
+    tr.close()
+    return out
 
 
 def louvain(
@@ -200,7 +221,15 @@ def louvain(
     config: LouvainConfig | None = None,
 ) -> LouvainResult:
     cfg = config or LouvainConfig()
-    edges = _undirected_weighted(graph).persist()
+    workdir = tempfile.mkdtemp(prefix="gds_louvain_")
+    # parquet-back the LEVEL-1 edges exactly like every coarser
+    # level: the sweep loop localCheckpoints off its input lineage,
+    # and an in-session (aggregate/join-derived) lineage triggers the
+    # Spark 4.1 local-mode slowdown that made level 1 ~13x slower
+    # than the parquet-backed level 2 on the same sweep count
+    path0 = os.path.join(workdir, "level_0")
+    _undirected_weighted(graph).write.mode("overwrite").parquet(path0)
+    edges = spark.read.parquet(path0).persist()
     m2 = edges.agg(F.sum("w")).collect()[0][0] or 0.0
     if m2 == 0:
         verts = graph.vertices().select("id", F.col("id").alias("community"))
@@ -212,7 +241,6 @@ def louvain(
     modularities: list[float] = []
     prev_q = None
     levels = 0
-    workdir = tempfile.mkdtemp(prefix="gds_louvain_")
 
     for _ in range(cfg.max_levels):
         comm = _local_moving(level_edges, m2, cfg.max_iterations)

@@ -67,23 +67,31 @@ def node_similarity(
             .agg(F.count(F.lit(1)).alias("_dn"))
             .where(F.col("_dn") > cfg.hub_threshold)
             .select("dst")
+            .persist()
         )
-        a_n = a.join(F.broadcast(hubs), "dst", "left_anti")
-        b_n = b.join(F.broadcast(hubs), "dst", "left_anti")
-        pairs_n = a_n.join(b_n, "dst").select("node1", "node2")
-        grid = spark.range(s).select(F.col("id").cast("int").alias("_g"))
-        a_h = (
-            a.join(F.broadcast(hubs), "dst", "left_semi")
-            .withColumn("_i", F.pmod(F.xxhash64("node1"), F.lit(s)).cast("int"))
-            .crossJoin(F.broadcast(grid.withColumnRenamed("_g", "_j")))
-        )
-        b_h = (
-            b.join(F.broadcast(hubs), "dst", "left_semi")
-            .withColumn("_j", F.pmod(F.xxhash64("node2"), F.lit(s)).cast("int"))
-            .crossJoin(F.broadcast(grid.withColumnRenamed("_g", "_i")))
-        )
-        pairs_h = a_h.join(b_h, ["dst", "_i", "_j"]).select("node1", "node2")
-        pairs = pairs_n.unionByName(pairs_h)
+        if hubs.isEmpty():
+            # common case: no dst above threshold — take the plain
+            # join and pay only the one degree aggregate, not the
+            # anti/semi/salt-join plumbing
+            hubs.unpersist()
+            pairs = a.join(b, "dst").select("node1", "node2")
+        else:
+            a_n = a.join(F.broadcast(hubs), "dst", "left_anti")
+            b_n = b.join(F.broadcast(hubs), "dst", "left_anti")
+            pairs_n = a_n.join(b_n, "dst").select("node1", "node2")
+            grid = spark.range(s).select(F.col("id").cast("int").alias("_g"))
+            a_h = (
+                a.join(F.broadcast(hubs), "dst", "left_semi")
+                .withColumn("_i", F.pmod(F.xxhash64("node1"), F.lit(s)).cast("int"))
+                .crossJoin(F.broadcast(grid.withColumnRenamed("_g", "_j")))
+            )
+            b_h = (
+                b.join(F.broadcast(hubs), "dst", "left_semi")
+                .withColumn("_j", F.pmod(F.xxhash64("node2"), F.lit(s)).cast("int"))
+                .crossJoin(F.broadcast(grid.withColumnRenamed("_g", "_i")))
+            )
+            pairs_h = a_h.join(b_h, ["dst", "_i", "_j"]).select("node1", "node2")
+            pairs = pairs_n.unionByName(pairs_h)
     else:
         pairs = a.join(b, "dst").select("node1", "node2")
 

@@ -250,17 +250,40 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lcg",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket(s); per-bucket exact cosine + window top-k. Recall rises
-    with fewer planes (bigger buckets) or more tables (independent
-    chances) — the classic knobs."""
+    with fewer planes (bigger buckets), more tables (independent
+    chances), or ``probe_hamming`` — the classic knobs.
+
+    ``probe_hamming`` = multi-probe LSH: each query also probes every
+    bucket within that Hamming distance of its signature (flipping
+    <=h of the n_planes sign bits), trading C(n_planes, <=h) extra
+    bucket lookups per query for the recall of that many extra
+    tables WITHOUT re-hashing or replicating the corpus — the
+    standard scale-path knob when the corpus side dominates (one
+    signature pass + index over 100 TB, probes only multiply the
+    query side)."""
+    import itertools
+
     csig = _table_signatures(
         corpus, dim, n_planes, n_tables, seed, id_col, vec_col, method, "neighbor_id"
     )
     qsig = _table_signatures(
         queries, dim, n_planes, n_tables, seed, id_col, vec_col, method, "query_id"
     )
+    if probe_hamming > 0:
+        masks = [0]
+        for h in range(1, probe_hamming + 1):
+            for bits in itertools.combinations(range(n_planes), h):
+                masks.append(sum(1 << b for b in bits))
+        qsig = qsig.withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).join(csig, "neighbor_id")

@@ -110,6 +110,30 @@ def test_lsh_topk_recall_on_clusters(spark):
     assert recall >= 0.6  # same-cluster vectors share buckets w.h.p.
 
 
+def test_lsh_multiprobe_dominates_single_bucket(spark):
+    """probe_hamming=1 probes every Hamming-1 bucket of the query
+    signature: the candidate set is a superset of the plain run's, so
+    recall can only rise, and returned cosines stay exact."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = ann.cosine_topk(df, df, k=3)
+    plain = ann.lsh_topk(df, df, dim=16, k=3, n_planes=6)
+    probed = ann.lsh_topk(df, df, dim=16, k=3, n_planes=6, probe_hamming=1)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    p0 = {(r["query_id"], r["neighbor_id"]) for r in plain.collect()}
+    p1 = {(r["query_id"], r["neighbor_id"]) for r in probed.collect()}
+    assert len(p1 & e) >= len(p0 & e)
+    # cosine values are the exact per-pair values (spot check vs exact)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in probed.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(r["cosine"] - ex[key]) < 1e-6
+
+
 def test_ivf_topk_recall_on_clusters(spark):
     """IVF with k-means coarse quantizer: on well-separated clusters
     the nearest-centroid lists contain the true neighbors, so recall
