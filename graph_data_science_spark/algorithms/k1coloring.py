@@ -42,8 +42,32 @@ def k1coloring(
         .persist()
     )
     verts = graph.vertices()
-    state = verts.select("id", F.lit(0).alias("color")).localCheckpoint(eager=True)
-    dirty = verts.select("id").localCheckpoint(eager=True)
+    # hash-seeded initial colors in [0, maxDegree] (deterministic,
+    # within the maxDegree+1 bound): only hash-colliding edges start
+    # dirty, instead of EVERY vertex — with 25-round JP resolution
+    # that first all-vertex round dominated the wall clock while a
+    # random init leaves ~m/(maxDeg+1) initial conflicts
+    max_deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.max("_d")).collect()[0][0]
+        or 0
+    )
+    state = verts.select(
+        "id",
+        F.pmod(F.xxhash64("id", F.lit(23)), F.lit(int(max_deg) + 1))
+        .cast("int")
+        .alias("color"),
+    ).localCheckpoint(eager=True)
+    s1 = state.select(F.col("id").alias("src"), F.col("color").alias("_c1"))
+    s2 = state.select(F.col("id").alias("dst"), F.col("color").alias("_c2"))
+    dirty = (
+        edges.join(s1, "src")
+        .join(s2, "dst")
+        .where((F.col("_c1") == F.col("_c2")) & (F.col("src") > F.col("dst")))
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iterations):
         if dirty.isEmpty():

@@ -135,11 +135,14 @@ def test_k1coloring_triangle(spark):
 
 def test_k1coloring_star(spark):
     # speculative parallel coloring guarantees validity and <= deg+1
-    # colors, not minimality (same contract as K1Coloring.java)
+    # colors, not minimality (same contract as K1Coloring.java) —
+    # with hash-seeded initial colors the palette uses up to deg+1
+    # colors (conflict-free vertices keep their initial color)
     g = _graph(spark, [(0, i) for i in range(1, 6)])
     col = k1coloring(spark, g)
     assert validate_coloring(g, col) == 0
-    assert len({r["color"] for r in col.collect()}) <= 3
+    assert len({r["color"] for r in col.collect()}) <= 6
+    assert max(r["color"] for r in col.collect()) <= 5  # maxDegree
 
 
 def test_k1coloring_long_chain(spark):
