@@ -41,7 +41,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.catalog import Graph
@@ -197,10 +197,12 @@ class PregelRunner:
     #: partitions for the edge/state co-partitioning; None = session
     #: spark.sql.shuffle.partitions
     partitions: int | None = None
-    #: False skips the per-superstep active/row count — one whole
-    #: Spark job per superstep that fixed-iteration runs (tolerance 0,
-    #: no vote-to-halt early exit possible) pay for nothing. Metrics
-    #: then record active = rows = -1.
+    #: False skips the per-superstep active/row count entirely —
+    #: fixed-iteration runs (tolerance 0, no vote-to-halt early exit
+    #: possible) don't need it. Metrics then record active = rows =
+    #: -1. When True the counts ride the SAME job that materializes
+    #: the new state (an Observation on the eager localCheckpoint /
+    #: checkpoint write), not a second pass over the state.
     track_active: bool = True
 
     # -- checkpoint store ------------------------------------------------
@@ -378,6 +380,19 @@ class PregelRunner:
                 new_state, iteration
             )
 
+            # convergence counters ride the materialization job below
+            # (CollectMetrics fires when the eager localCheckpoint /
+            # checkpoint write scans the plan) — zero extra jobs, vs
+            # a full second pass over the state per superstep
+            obs = None
+            if self.track_active:
+                obs = Observation()
+                new_state = new_state.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(~F.col("_halted"), 1).otherwise(0)).alias("active"),
+                )
+
             meta = {"iteration": iteration}
             if self.checkpoint_dir and (iteration % self.checkpoint_every == 0):
                 # parquet round-trip drops the hash partitioning —
@@ -396,11 +411,8 @@ class PregelRunner:
             if iteration > start_iter:
                 _free_local_checkpoint(state)
 
-            if self.track_active:
-                counts = new_state.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.when(~F.col("_halted"), 1).otherwise(0)).alias("active"),
-                ).collect()[0]
+            if obs is not None:
+                counts = obs.get  # already fired by the eager action above
                 n_active, n_rows = int(counts["active"] or 0), int(counts["n"])
             else:
                 n_active, n_rows = -1, -1
