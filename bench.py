@@ -345,11 +345,25 @@ def main() -> None:
         _scaling_worker()
         return
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # the box shares a socket with co-tenant VMs whose load is visible
+    # only as missing DRAM bandwidth; a headline run that lands in a
+    # degraded window reads uniformly 2-10x slow (observed: the same
+    # query set 55s quiet vs 529s degraded, every query inflated
+    # alike). Gate the headline block on the same quiet criterion the
+    # scaling block uses, and record the observed conditions either
+    # way so the artifact is self-documenting.
+    hl_budget = float(os.environ.get("SPARK_GRAFT_HEADLINE_QUIET_SEC", "900"))
+    hl_threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    hl_bw_floor = float(os.environ.get("SPARK_GRAFT_QUIET_BW_GB", "88"))
+    busy0, bw0 = _wait_quiet(
+        time.monotonic() + hl_budget, hl_threshold, hl_bw_floor
+    )
     spark = make_spark(CPUS)
     queries = run_headline(spark, SF_DIR)
     pr_stats = timed_pagerank(spark, SF_DIR)
     recall = lsh_recall(spark, SF_DIR)
     spark.stop()
+    busy1, bw1 = _busy_cores(), _bw_probe()
 
     result = {
         "metric": "headline query wall-clock at sf dir (see queries) + "
@@ -360,6 +374,16 @@ def main() -> None:
         "sf": sf,
         "pagerank": pr_stats,
         "ann_lsh_recall": recall,
+        # host conditions bracketing the headline block; membw below
+        # the quiet floor means a co-tenant burst landed mid-run and
+        # absolute timings are inflated accordingly
+        "host_conditions": {
+            "quiet_membw_floor_gb": hl_bw_floor,
+            "busy_cores_before": round(busy0, 2),
+            "membw_gb_before": round(bw0, 1),
+            "busy_cores_after": round(busy1, 2),
+            "membw_gb_after": round(bw1, 1),
+        },
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
