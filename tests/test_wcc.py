@@ -66,3 +66,20 @@ def test_wcc_long_path_converges(spark, catalog):
     got = {r["id"]: r["component"] for r in res.state.collect()}
     assert set(got.values()) == {0}
     assert res.did_converge
+
+
+def test_wcc_superstep_metrics_counts(spark, catalog):
+    # the per-superstep active/row counters ride an Observation on the
+    # state materialization job (pregel.py) — assert the observed
+    # values are semantically right, not just present: every superstep
+    # sees the full vertex set, activity ends at 0 on convergence
+    g = catalog.create("wccm", edge_df(spark, WCC_EDGES), persist=True)
+    res = wcc(spark, g)
+    assert res.did_converge
+    n = g.node_count()
+    assert len(res.metrics) >= 2
+    for m in res.metrics:
+        assert m["rows"] == n
+        assert 0 <= m["active"] <= n
+    assert res.metrics[-1]["active"] == 0
+    assert res.metrics[0]["active"] > 0
