@@ -231,9 +231,18 @@ def _hits_sql(iters: int) -> str:
     )
 
 
-def _bfs_dist_ctes(edges_cte: str, seed_cte: str, levels: int, prefix: str = "d") -> str:
+def _bfs_dist_ctes(
+    edges_cte: str,
+    seed_cte: str,
+    levels: int,
+    prefix: str = "d",
+    step_expr: str = "1",
+) -> str:
     """Chained min-dist relaxation CTEs: {prefix}{levels} holds
-    (source, id, dist) shortest hop distances after `levels` rounds."""
+    (source, id, dist) shortest distances after `levels` rounds.
+    ``step_expr`` is the per-edge cost in terms of the edge alias `e`
+    ("1" = hop distance; "e.w" = weighted Bellman-Ford — exact once
+    `levels` >= the hop count of the longest optimal path)."""
     out = [
         f"{prefix}0 AS MATERIALIZED (SELECT source, id, dist FROM {seed_cte})",
     ]
@@ -242,7 +251,7 @@ def _bfs_dist_ctes(edges_cte: str, seed_cte: str, levels: int, prefix: str = "d"
             f"{prefix}{k} AS MATERIALIZED (SELECT source, id, MIN(dist) AS dist FROM ("
             f"SELECT source, id, dist FROM {prefix}{k - 1} "
             f"UNION ALL "
-            f"SELECT p.source, e.dst AS id, p.dist + 1 AS dist "
+            f"SELECT p.source, e.dst AS id, p.dist + {step_expr} AS dist "
             f"FROM {prefix}{k - 1} p JOIN {edges_cte} e ON e.src = p.id"
             f") u GROUP BY source, id)"
         )
@@ -850,6 +859,50 @@ def _q_khop_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir, persist=False)
     sources = g.vertices().where(F.col("id") < 0)
     return khop_counts(spark, g, sources, k=2)
+
+
+def _q_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.allShortestPaths.stream, unweighted
+    (MSBFSAllShortestPaths.java:104-121): hop distances from every
+    tool vertex over the undirected link graph, targets at dist >= 1."""
+    from graph_data_science_spark.algorithms.msbfs import all_shortest_paths
+
+    g = _graph(spark, sf_dir, persist=False)
+    sources = g.vertices().where(F.col("id") < 0)
+    return all_shortest_paths(spark, g, sources=sources, directed=False)
+
+
+#: weighted allShortestPaths edge-weight derivation, reproduced
+#: closed-form in the oracle: weight(src,dst) = 1 + pmod(src*31 +
+#: dst*17, 3) in {1,2,3}. vids are < ~2^35 so src*31 + dst*17 < 2^41
+#: stays far from BIGINT overflow in both engines.
+ASP_W_LEVELS = 3 * BFS_LEVELS + 2  # hop bound: wmax/wmin * hop-diameter
+
+
+def _q_all_shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.allShortestPaths.stream, weighted
+    (WeightedAllShortestPaths.java:96-152): per-source Dijkstra-parity
+    distances from every tool vertex, (s, s, 0.0) rows included."""
+    from graph_data_science_spark.algorithms.msbfs import all_shortest_paths
+
+    g = _graph(spark, sf_dir, persist=False)
+    w_edges = g.view().select(
+        "src",
+        "dst",
+        (
+            F.lit(1.0)
+            + F.pmod(F.col("src") * F.lit(31) + F.col("dst") * F.lit(17), F.lit(3))
+            .cast("double")
+        ).alias("weight"),
+    )
+    wg = Graph(name="asp_w", edges=w_edges)
+    sources = wg.vertices().where(F.col("id") < 0)
+    out = all_shortest_paths(
+        spark, wg, sources=sources, weighted=True, directed=False
+    )
+    return out.select(
+        "source_id", "target_id", F.round("distance", 6).alias("distance")
+    )
 
 
 def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1620,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": _q_closeness,
         "harmonic_centrality": _q_harmonic,
         "khop_counts": _q_khop_tools,
+        "all_shortest_paths": _q_all_shortest_paths,
+        "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
         "conductance": _q_conductance,
         "collapse_path": _q_collapse_path,
         "sssp": _q_sssp,
@@ -1946,6 +2001,29 @@ FROM (SELECT id AS source FROM verts WHERE id < 0) s
 LEFT JOIN (
   SELECT source, COUNT(*) AS n FROM d2 WHERE dist > 0 GROUP BY source
 ) a ON a.source = s.source
+""",
+        "all_shortest_paths": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM verts WHERE id < 0),
+{_bfs_dist_ctes("und", "seed", BFS_LEVELS + 2)}
+SELECT source AS source_id, id AS target_id, CAST(dist AS DOUBLE) AS distance
+FROM d{BFS_LEVELS + 2} WHERE dist > 0
+""",
+        "all_shortest_paths_weighted": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+we AS MATERIALIZED (
+  SELECT src, dst,
+         1.0 + CAST(((src * 31 + dst * 17) % 3 + 3) % 3 AS DOUBLE) AS w
+  FROM edges
+),
+undw AS MATERIALIZED (SELECT src, dst, w FROM we UNION ALL SELECT dst, src, w FROM we),
+seedw AS MATERIALIZED (
+  SELECT id AS source, id, 0.0 AS dist FROM verts WHERE id < 0
+),
+{_bfs_dist_ctes("undw", "seedw", ASP_W_LEVELS, prefix="wd", step_expr="e.w")}
+SELECT source AS source_id, id AS target_id, ROUND(dist, 6) AS distance
+FROM wd{ASP_W_LEVELS}
 """,
         "conductance": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},

@@ -188,6 +188,84 @@ def harmonic_centrality(
     )
 
 
+def all_shortest_paths(
+    spark: SparkSession,
+    graph: Graph,
+    sources: DataFrame | None = None,
+    weighted: bool = False,
+    directed: bool = True,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """(source_id, target_id, distance) — `gds.alpha.allShortestPaths`.
+
+    Unweighted mirrors MSBFSAllShortestPaths.java:104-121 (ANP visit
+    stream: targets at hop distance >= 1, self rows not emitted);
+    weighted mirrors WeightedAllShortestPaths.java:96-152 (per-source
+    Dijkstra; every finite pair emitted, including (s, s, 0.0)).
+    Unreachable pairs are omitted (the reference filters +Inf).
+
+    ``sources`` (DF with column `id`) bounds the source set — at
+    cluster scale the full O(|S|x|V|) result of ``sources=None`` is
+    the caller's explicit choice, as in the reference's alpha-tier
+    proc. Weighted relaxation is the same one-shuffle-per-round shape
+    as :func:`~graph_data_science_spark.algorithms.paths.sssp`, keyed
+    on (source, id) so all sources advance together.
+    """
+    if not weighted:
+        dist = bfs_distances(spark, graph, sources=sources, directed=directed)
+        return dist.where(F.col("dist") > 0).select(
+            F.col("source").alias("source_id"),
+            F.col("id").alias("target_id"),
+            F.col("dist").cast("double").alias("distance"),
+        )
+
+    edges = graph.view(weight_property=True)
+    if not directed:
+        edges = projection.orient(edges, "UNDIRECTED")
+    if not edges.where(F.col("weight") < 0).isEmpty():
+        raise ValueError("all_shortest_paths requires non-negative weights")
+    edges = edges.persist()
+
+    from graph_data_science_spark.pregel import _free_local_checkpoint
+
+    src = (sources or graph.vertices()).select(F.col("id").alias("source"))
+    state = src.select(
+        "source", F.col("source").alias("id"), F.lit(0.0).alias("distance")
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(max_iterations):
+        relax = frontier.join(edges, frontier.id == edges.src).select(
+            "source",
+            F.col("dst").alias("id"),
+            (F.col("distance") + F.col("weight")).alias("_nd"),
+        )
+        best = relax.groupBy("source", "id").agg(F.min("_nd").alias("_nd"))
+        improved = (
+            state.join(best, ["source", "id"], "full")
+            .where(F.col("distance").isNull() | (F.col("_nd") < F.col("distance")))
+            .select("source", "id", F.col("_nd").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        prev_state, prev_frontier = state, frontier
+        state = (
+            state.join(improved.select("source", "id"), ["source", "id"], "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        _free_local_checkpoint(prev_state)
+        if prev_frontier is not prev_state:
+            _free_local_checkpoint(prev_frontier)
+        frontier = improved
+    edges.unpersist()
+    return state.select(
+        F.col("source").alias("source_id"),
+        F.col("id").alias("target_id"),
+        "distance",
+    )
+
+
 def khop_counts(
     spark: SparkSession,
     graph: Graph,

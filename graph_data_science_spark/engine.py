@@ -209,6 +209,16 @@ class GdsEngine:
             "centrality",
         )
 
+    def all_shortest_paths(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.msbfs import all_shortest_paths
+
+        return self._proc(
+            graph,
+            lambda: (all_shortest_paths(self.spark, graph, **cfg), {}),
+            "distance",
+        )
+
     def hits(self, graph: Graph, **cfg) -> ProcResult:
         graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.hits import hits

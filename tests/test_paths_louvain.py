@@ -82,3 +82,55 @@ def test_louvain_ring_of_cliques_levels(spark):
     assert len({comms[c[0]] for c in cliques}) == 4
     # m=16 (12 intra + 4 ring); Q = 24/32 - 4*(8/32)^2 = 0.5 exactly
     assert res.modularity == pytest.approx(0.5, abs=1e-9)
+
+
+# ---------------------------------------------------- allShortestPaths
+
+def test_all_shortest_paths_unweighted(spark):
+    # MSBFSAllShortestPaths.java:104-121 — ANP stream: hop distances,
+    # targets at dist >= 1 only, unreachable pairs omitted
+    from graph_data_science_spark.algorithms.msbfs import all_shortest_paths
+
+    g = _graph(spark, [(0, 1), (1, 2), (3, 2)], name="asp_u")
+    got = {
+        (r["source_id"], r["target_id"]): r["distance"]
+        for r in all_shortest_paths(spark, g, directed=True).collect()
+    }
+    assert got == {
+        (0, 1): 1.0, (0, 2): 2.0, (1, 2): 1.0, (3, 2): 1.0,
+    }
+
+
+def test_all_shortest_paths_weighted(spark):
+    # WeightedAllShortestPaths.java:96-152 — per-source Dijkstra
+    # distances; (s, s, 0.0) rows included, only finite pairs kept
+    from graph_data_science_spark.algorithms.msbfs import all_shortest_paths
+
+    pairs = [(0, 1), (0, 2), (2, 1), (1, 3), (2, 3)]
+    w = [4.0, 1.0, 2.0, 1.0, 5.0]
+    g = _graph(spark, pairs, w, name="asp_w")
+    got = {
+        (r["source_id"], r["target_id"]): r["distance"]
+        for r in all_shortest_paths(spark, g, weighted=True).collect()
+    }
+    # per-source rows from source 0 match the Dijkstra fixture above
+    assert got[(0, 0)] == 0.0
+    assert got[(0, 2)] == 1.0
+    assert got[(0, 1)] == 3.0  # via 2, not the direct 4.0 edge
+    assert got[(0, 3)] == 4.0
+    # other sources advance in the same sweep
+    assert got[(2, 3)] == 3.0  # 2 -> 1 -> 3 beats the direct 5.0
+    assert got[(1, 3)] == 1.0
+    assert (3, 0) not in got  # unreachable pairs omitted
+
+
+def test_all_shortest_paths_bounded_sources(spark):
+    from graph_data_science_spark.algorithms.msbfs import all_shortest_paths
+
+    g = _graph(spark, [(0, 1), (1, 2), (3, 2)], name="asp_s")
+    srcs = spark.createDataFrame([(0,)], "id long")
+    got = {
+        (r["source_id"], r["target_id"])
+        for r in all_shortest_paths(spark, g, sources=srcs).collect()
+    }
+    assert got == {(0, 1), (0, 2)}
