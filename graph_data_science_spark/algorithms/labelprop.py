@@ -54,6 +54,7 @@ class LabelPropagationConfig:
 
 class _LabelPropComputation(PregelComputation):
     send_full_state = True  # argmax needs every neighbor's vote each round
+    send_is_linear = False  # _votes aggregates (per-dst argmax) inside send
 
     def __init__(self, cfg: LabelPropagationConfig, node_props: DataFrame | None):
         self.cfg = cfg

@@ -147,6 +147,64 @@ class Graph:
             .sortWithinPartitions("src"),
         )
 
+    def pregel_layout(
+        self, n_parts: int, hub_threshold: int | None = None
+    ) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+        """Degree-split Pregel edge layout — (cold, hot, hub_ids).
+
+        The north-rule's "degree-based edge splitting": a hub src's
+        fan-out otherwise lands in the single hash(src) partition and
+        its send-join output makes that task the superstep straggler
+        (tool vertices here have degree ~|E|/|tools|). Split:
+
+        * ``cold`` — edges whose src out-degree <= threshold, laid out
+          like :meth:`pregel_edges` (zero-shuffle co-partitioned send
+          join against the id-partitioned state);
+        * ``hot`` — the hub srcs' edges, repartitioned by ``dst`` so
+          one hub's fan-out spreads across ALL partitions; the runner
+          joins them against a broadcast of the hub state;
+        * ``hub_ids`` — the hub vertex ids (column ``id``).
+
+        ``hub_threshold`` None = auto: max(|E| / n_parts, 256). With
+        the auto threshold at most ``n_parts`` srcs can exceed it
+        (their degrees sum to |E|), so the broadcast hub state is
+        bounded by n_parts rows at ANY graph scale. (hot, hub_ids)
+        are (None, None) when no src qualifies.
+        """
+        key = ("pregel_layout", n_parts, hub_threshold)
+        if key in self._pregel_edges:
+            return self._pregel_edges[key]
+        e = self.view(weight_property=True)
+        thr = hub_threshold
+        if thr is None:
+            thr = max(e.count() // n_parts, 256)
+        hubs = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") > thr)
+            .select("src")
+            .persist()
+        )
+        if hubs.count() == 0:
+            hubs.unpersist()
+            out = (self.pregel_edges(n_parts), None, None)
+        else:
+            cold = (
+                e.join(F.broadcast(hubs), "src", "left_anti")
+                .repartition(n_parts, "src")
+                .sortWithinPartitions("src")
+                .persist()
+            )
+            hot = (
+                e.join(F.broadcast(hubs), "src", "left_semi")
+                .repartition(n_parts, "dst")
+                .persist()
+            )
+            self._cached.extend([cold, hot, hubs])
+            out = (cold, hot, hubs.select(F.col("src").alias("id")))
+        self._pregel_edges[key] = out
+        return out
+
     def degrees(self) -> DataFrame:
         return projection.degrees(self.edges)
 

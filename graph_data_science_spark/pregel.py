@@ -157,6 +157,14 @@ class PregelComputation:
     #: state to ``send`` instead of just the active frontier.
     send_full_state: bool = False
 
+    #: True when ``send`` is a per-edge linear transform (one message
+    #: per matched (state, edge) row, no aggregation inside send) —
+    #: the runner may then invoke it once per edge SUBSET and union
+    #: the results, which enables the degree-split hub layout
+    #: (Graph.pregel_layout). Computations that aggregate inside
+    #: ``send`` (label propagation's argmax) must set False.
+    send_is_linear: bool = True
+
     def init(self, graph: Graph) -> DataFrame:
         """Initial state: DF with `id`, `_halted` + algorithm columns."""
         raise NotImplementedError
@@ -194,6 +202,13 @@ class PregelRunner:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1
     salt_buckets: int = 0  # >1 enables the explicit two-phase salted reduce
+    #: degree-based hub edge splitting (Graph.pregel_layout): srcs
+    #: whose out-degree exceeds the threshold have their edges
+    #: repartitioned by dst and joined against a broadcast of the hub
+    #: state, so no single task owns a hub's whole fan-out. None =
+    #: auto threshold max(|E|/n_parts, 256); 0 disables. Only applies
+    #: to computations with ``send_is_linear``.
+    hub_split_threshold: int | None = None
     #: partitions for the edge/state co-partitioning; None = session
     #: spark.sql.shuffle.partitions
     partitions: int | None = None
@@ -342,8 +357,16 @@ class PregelRunner:
     ) -> PregelResult:
         # repartition+sort+persist once per (graph, layout); cached on
         # the Graph handle so back-to-back runs (warmup, multi-algo
-        # sessions) skip the superstep-0 rebuild
-        edges = graph.pregel_edges(n_parts)
+        # sessions) skip the superstep-0 rebuild. Linear sends get the
+        # degree-split layout: hub fan-outs move to a dst-partitioned
+        # hot table joined against broadcast hub state (no straggler
+        # task owns a hub's whole edge block).
+        if getattr(computation, "send_is_linear", True) and self.hub_split_threshold != 0:
+            edges, hot_edges, hub_ids = graph.pregel_layout(
+                n_parts, self.hub_split_threshold
+            )
+        else:
+            edges, hot_edges, hub_ids = graph.pregel_edges(n_parts), None, None
         metrics: list[dict] = []
 
         start_iter = 0
@@ -364,6 +387,15 @@ class PregelRunner:
             t0 = time.monotonic()
             active = state if computation.send_full_state else state.where(~F.col("_halted"))
             messages = computation.send(active, edges, iteration)
+            if hot_edges is not None:
+                # hub fan-out: the hub state is <= n_parts rows by the
+                # auto-threshold pigeonhole bound, so broadcast it
+                # against the dst-partitioned hot edges — same per-edge
+                # send transform, skew-free by construction
+                hub_active = active.join(F.broadcast(hub_ids), "id", "left_semi")
+                messages = messages.unionByName(
+                    computation.send(F.broadcast(hub_active), hot_edges, iteration)
+                )
             custom_reduce = getattr(computation, "reduce_messages", None)
             if custom_reduce is not None:
                 inbox = custom_reduce(messages).withColumnRenamed("dst", "id")
