@@ -493,6 +493,11 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(docs)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs)
@@ -1663,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1933,6 +1939,44 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
+""",
+        "dedup_clusters": f"""
+WITH {SHINGLES_SQL.strip()},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{h}|' || shingle)) AS h{h}" for h in range(16))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, %d AS band, md5(h%d || '|' || h%d || '|' || h%d || '|' || h%d)"
+      " AS bucket FROM sig" % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+      for b in range(4)
+  )}
+),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cund AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS comp FROM documents),
+{",".join(
+    f"c{k} AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM ("
+    f"SELECT id, comp FROM c{k - 1} "
+    f"UNION ALL SELECT e.dst AS id, c.comp FROM c{k - 1} c JOIN cund e ON e.src = c.id"
+    f") u GROUP BY id)"
+    for k in range(1, 11)
+)}
+SELECT c10.id AS doc_id, c10.comp AS cluster_id, s.cluster_size,
+       c10.id = c10.comp AS is_representative
+FROM c10
+JOIN (SELECT comp, COUNT(*) AS cluster_size FROM c10 GROUP BY comp) s
+  ON s.comp = c10.comp
 """,
         "ann_cosine_topk": """
 WITH e AS (

@@ -211,6 +211,65 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_representative) — the
+    standard web-corpus fuzzy-dedup pipeline in one operator:
+    MinHash-LSH candidate pairs -> connected components over the
+    candidate graph -> min-doc_id representative per cluster.
+    Documents with no candidate pair form singleton clusters and are
+    their own representative; downstream keeps
+    ``is_representative`` rows and drops the rest.
+
+    100-TB shape: candidates stay banded/bucketed (no all-pairs);
+    the component sweep is WCC's min-label propagation, whose round
+    count is the candidate-graph diameter — near-dup clusters are
+    short chains, not long paths.
+    """
+    from graph_data_science_spark.algorithms.wcc import wcc
+    from graph_data_science_spark.catalog import Graph
+
+    spark = df.sparkSession
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, n, num_hashes, bands, max_bucket_size
+    )
+    g = Graph(
+        name="dedup_clusters",
+        edges=pairs.select(
+            F.col("doc_a").alias("src"),
+            F.col("doc_b").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+    )
+    comp = wcc(spark, g).state.select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        # WCC's component id = min vertex id, so the representative
+        # test is a column compare, no extra aggregation
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -256,3 +256,26 @@ def test_node_similarity_hub_salting_exact(spark, catalog):
     p = {key(r): (r["similarity"], r["rank"]) for r in plain.collect()}
     s = {key(r): (r["similarity"], r["rank"]) for r in salted.collect()}
     assert p == s and len(p) > 0
+
+
+def test_dedup_clusters(spark):
+    from graph_data_science_spark.pipeline.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact dup of 1
+            (3, base + " tail"),            # near dup (shares most shingles)
+            (10, "completely different content about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_representative"])
+        for r in dedup_clusters(docs).collect()
+    }
+    assert got[1] == (1, 3, True)
+    assert got[2] == (1, 3, False)
+    assert got[3] == (1, 3, False)
+    assert got[10] == (10, 1, True)
