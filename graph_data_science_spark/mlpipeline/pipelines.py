@@ -205,6 +205,12 @@ class NodeClassificationPipeline:
             "label",
             F.array_position(idx, F.col(target_property)).cast("double") - 1,
         )
+        # truncate the feature lineage (GraphSAGE/FastRP steps chain
+        # hundreds of plan nodes): MLlib's RDD-based optimizers
+        # serialize the task binary RECURSIVELY over the dependency
+        # chain, and a deep chain overflows the serializer stack in
+        # long-lived sessions
+        data = data.localCheckpoint(eager=True)
         bucket = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(_BUCKETS))
         test = data.where(bucket < int(holdout_fraction * _BUCKETS))
         trainval = data.where(bucket >= int(holdout_fraction * _BUCKETS)).withColumn(
@@ -231,6 +237,9 @@ class NodeClassificationPipeline:
             }
         finally:
             trainval.unpersist()
+            from graph_data_science_spark.pregel import _free_local_checkpoint
+
+            _free_local_checkpoint(data)
         return NodeClassificationModel(
             lr_model=winner,
             feature_cols=self.feature_cols,
@@ -418,24 +427,39 @@ class LinkPredictionPipeline:
         test_pairs = with_label(split["test"], 1).unionByName(
             with_label(split["test_negative"], 0)
         )
-        tr = _link_features(train_pairs, g.nodes, self.feature_cols, self.combiners)
-        te = _link_features(test_pairs, g.nodes, self.feature_cols, self.combiners)
-        lr = LogisticRegression(
-            featuresCol="features", labelCol="label",
-            regParam=penalty, maxIter=max_iterations, standardization=True,
-        ).fit(tr)
+        # truncate the feature lineage before MLlib's RDD-based fit /
+        # evaluator — they serialize the task binary recursively over
+        # the dependency chain, and the GraphSAGE/FastRP feature plans
+        # are deep enough to overflow the serializer stack in
+        # long-lived sessions
+        tr = _link_features(
+            train_pairs, g.nodes, self.feature_cols, self.combiners
+        ).localCheckpoint(eager=True)
+        te = _link_features(
+            test_pairs, g.nodes, self.feature_cols, self.combiners
+        ).localCheckpoint(eager=True)
+        try:
+            lr = LogisticRegression(
+                featuresCol="features", labelCol="label",
+                regParam=penalty, maxIter=max_iterations, standardization=True,
+            ).fit(tr)
 
-        from pyspark.ml.evaluation import BinaryClassificationEvaluator
+            from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-        ev = BinaryClassificationEvaluator(
-            labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderPR"
-        )
-        pred = lr.transform(te)
-        metrics = {
-            "AUCPR": ev.evaluate(pred),
-            "test_positive": test_pairs.where("label = 1").count(),
-            "test_negative": test_pairs.where("label = 0").count(),
-        }
+            ev = BinaryClassificationEvaluator(
+                labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderPR"
+            )
+            pred = lr.transform(te)
+            metrics = {
+                "AUCPR": ev.evaluate(pred),
+                "test_positive": test_pairs.where("label = 1").count(),
+                "test_negative": test_pairs.where("label = 0").count(),
+            }
+        finally:
+            from graph_data_science_spark.pregel import _free_local_checkpoint
+
+            _free_local_checkpoint(tr)
+            _free_local_checkpoint(te)
         return LinkPredictionModel(
             lr_model=lr,
             feature_cols=self.feature_cols,
