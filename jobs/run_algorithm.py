@@ -40,7 +40,7 @@ ALGORITHMS = (
     "triangle_count", "local_clustering_coefficient", "degree_centrality",
     "louvain", "scc", "k1coloring", "hits", "closeness_centrality",
     "harmonic_centrality", "node_similarity", "fastrp", "graphsage",
-    "betweenness", "sllpa",
+    "betweenness", "sllpa", "all_shortest_paths",
 )
 
 
