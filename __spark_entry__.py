@@ -910,6 +910,35 @@ def _q_all_shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_linkpred_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.linkprediction.* functions (LinkPredictionFunc.java)
+    over deterministic candidate pairs: (turn_i, turn_i+2) per user —
+    turn_{i+1} is always a common neighbor on the undirected link
+    graph, plus any shared tool vertex."""
+    from pyspark.sql import Window
+
+    from graph_data_science_spark.functions.linkpred import link_prediction_scores
+
+    g = _graph(spark, sf_dir, persist=False)
+    t = ev.event_turns(ev.load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("turn_idx")
+    pairs = (
+        t.withColumn("_n2", F.lead("vid", 2).over(w))
+        .where(F.col("_n2").isNotNull())
+        .select(F.col("vid").alias("node1"), F.col("_n2").alias("node2"))
+    )
+    out = link_prediction_scores(g, pairs)
+    return out.select(
+        "node1",
+        "node2",
+        "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "preferential_attachment",
+        "total_neighbors",
+    )
+
+
 def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_data_science_spark.algorithms.conductance import conductance
 
@@ -1680,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic,
         "khop_counts": _q_khop_tools,
         "all_shortest_paths": _q_all_shortest_paths,
+        "linkpred_scores": _q_linkpred_scores,
         "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
         "conductance": _q_conductance,
         "collapse_path": _q_collapse_path,
@@ -2053,6 +2083,45 @@ seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM verts WHERE id < 0
 {_bfs_dist_ctes("und", "seed", BFS_LEVELS + 2)}
 SELECT source AS source_id, id AS target_id, CAST(dist AS DOUBLE) AS distance
 FROM d{BFS_LEVELS + 2} WHERE dist > 0
+""",
+        "linkpred_scores": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+prs AS MATERIALIZED (
+  SELECT vid AS node1,
+         lead(vid, 2) OVER (PARTITION BY user_id ORDER BY turn_idx) AS node2
+  FROM tv QUALIFY node2 IS NOT NULL
+),
+rel AS MATERIALIZED (
+  SELECT src AS node, dst AS nbr FROM edges WHERE src <> dst
+  UNION ALL SELECT dst, src FROM edges WHERE src <> dst
+),
+nbrs AS MATERIALIZED (SELECT DISTINCT node, nbr FROM rel),
+ldeg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM rel GROUP BY node),
+nn AS MATERIALIZED (SELECT node, COUNT(*) AS n FROM nbrs GROUP BY node),
+common AS MATERIALIZED (
+  SELECT p.node1, p.node2, COUNT(*) AS cn,
+         SUM(1.0 / LN(d.deg)) AS aa,
+         SUM(1.0 / d.deg) AS ra
+  FROM prs p
+  JOIN nbrs a ON a.node = p.node1
+  JOIN nbrs b ON b.node = p.node2 AND b.nbr = a.nbr
+  JOIN ldeg d ON d.node = a.nbr
+  GROUP BY p.node1, p.node2
+)
+SELECT p.node1, p.node2,
+       CAST(COALESCE(c.cn, 0) AS DOUBLE) AS common_neighbors,
+       ROUND(COALESCE(c.aa, 0.0), 6) AS adamic_adar,
+       ROUND(COALESCE(c.ra, 0.0), 6) AS resource_allocation,
+       CAST(COALESCE(d1.deg, 0) * COALESCE(d2.deg, 0) AS DOUBLE)
+         AS preferential_attachment,
+       CAST(COALESCE(n1.n, 0) + COALESCE(n2.n, 0) - COALESCE(c.cn, 0) AS DOUBLE)
+         AS total_neighbors
+FROM prs p
+LEFT JOIN common c ON c.node1 = p.node1 AND c.node2 = p.node2
+LEFT JOIN ldeg d1 ON d1.node = p.node1
+LEFT JOIN ldeg d2 ON d2.node = p.node2
+LEFT JOIN nn n1 ON n1.node = p.node1
+LEFT JOIN nn n2 ON n2.node = p.node2
 """,
         "all_shortest_paths_weighted": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},
