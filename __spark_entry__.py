@@ -910,6 +910,15 @@ def _q_all_shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.triangles (TriangleProc.java): stream every triangle's
+    node triple, a < b < c, over the undirected link graph."""
+    from graph_data_science_spark.algorithms.triangle import triangles
+
+    g = _graph(spark, sf_dir, persist=False)
+    return triangles(spark, g)
+
+
 def _q_linkpred_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.alpha.linkprediction.* functions (LinkPredictionFunc.java)
     over deterministic candidate pairs: (turn_i, turn_i+2) per user —
@@ -1710,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_counts": _q_khop_tools,
         "all_shortest_paths": _q_all_shortest_paths,
         "linkpred_scores": _q_linkpred_scores,
+        "triangles": _q_triangles,
         "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
         "conductance": _q_conductance,
         "collapse_path": _q_collapse_path,
@@ -2083,6 +2093,17 @@ seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM verts WHERE id < 0
 {_bfs_dist_ctes("und", "seed", BFS_LEVELS + 2)}
 SELECT source AS source_id, id AS target_id, CAST(dist AS DOUBLE) AS distance
 FROM d{BFS_LEVELS + 2} WHERE dist > 0
+""",
+        "triangles": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+ce AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+  FROM edges WHERE src <> dst
+)
+SELECT ab.s AS node_a, ab.d AS node_b, ac.d AS node_c
+FROM ce ab
+JOIN ce ac ON ac.s = ab.s AND ac.d > ab.d
+JOIN ce bc ON bc.s = ab.d AND bc.d = ac.d
 """,
         "linkpred_scores": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},

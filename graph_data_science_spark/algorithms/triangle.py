@@ -159,6 +159,48 @@ def triangle_count(
         edges.unpersist()
 
 
+def triangles(
+    spark: SparkSession,
+    graph: Graph,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(node_a, node_b, node_c) with a < b < c — every triangle once.
+
+    The gds.alpha.triangles stream (/root/reference/alpha/alpha-proc/
+    src/main/java/org/neo4j/gds/triangle/TriangleProc.java:34-52):
+    unlike triangle_count this MATERIALIZES each triangle, so the
+    output itself is O(#triangles) — inherent to the proc, alpha-tier
+    in the reference too. Enumeration is the canonical-order triple
+    join on the deduplicated undirected edge set: (a,b) ⋈ (a,c) ⋈
+    (b,c) with a < b < c, so each triangle matches exactly one way.
+    ``max_degree`` excludes hub vertices before the join (the
+    TriangleCountBaseConfig guard) — on power-law graphs the a-keyed
+    wedge fan-out is deg(a)^2, and capping it is the standard
+    mitigation.
+    """
+    edges = _simple_edges(graph)
+    if max_degree is not None:
+        deg = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        hot = deg.where(F.col("degree") > max_degree).select("id")
+        edges = edges.join(
+            hot.withColumnRenamed("id", "src"), "src", "left_anti"
+        ).join(hot.withColumnRenamed("id", "dst"), "dst", "left_anti")
+    ab = edges.select(F.col("src").alias("node_a"), F.col("dst").alias("node_b"))
+    ac = edges.select(F.col("src").alias("node_a"), F.col("dst").alias("node_c"))
+    bc = edges.select(F.col("src").alias("node_b"), F.col("dst").alias("node_c"))
+    return (
+        ab.join(ac, "node_a")
+        .where(F.col("node_b") < F.col("node_c"))
+        .join(bc, ["node_b", "node_c"])
+        .select("node_a", "node_b", "node_c")
+    )
+
+
 def local_clustering_coefficient(
     spark: SparkSession,
     graph: Graph,

@@ -93,3 +93,37 @@ def test_lcc_excluded_is_nan(spark, catalog):
         for r in local_clustering_coefficient(spark, g, max_degree=2).collect()
     }
     assert math.isnan(coeffs[0])
+
+
+def test_triangles_stream(spark):
+    # TriangleProc.java: stream each triangle once, a < b < c
+    from graph_data_science_spark.algorithms.triangle import triangles
+    from graph_data_science_spark.catalog import Graph
+    from tests.conftest import edge_df
+
+    g = Graph(
+        name="tri_stream",
+        edges=edge_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (2, 4), (5, 6)]),
+    )
+    got = {
+        (r["node_a"], r["node_b"], r["node_c"])
+        for r in triangles(spark, g).collect()
+    }
+    assert got == {(1, 2, 3), (2, 3, 4)}
+
+
+def test_triangles_max_degree_guard(spark):
+    from graph_data_science_spark.algorithms.triangle import triangles
+    from graph_data_science_spark.catalog import Graph
+    from tests.conftest import edge_df
+
+    # vertex 3 (degree 4) excluded -> its triangles vanish
+    g = Graph(
+        name="tri_guard",
+        edges=edge_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (2, 4), (3, 5)]),
+    )
+    got = {
+        (r["node_a"], r["node_b"], r["node_c"])
+        for r in triangles(spark, g, max_degree=3).collect()
+    }
+    assert got == set()
