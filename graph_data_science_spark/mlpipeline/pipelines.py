@@ -36,6 +36,8 @@ Spark-first design decisions:
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -59,6 +61,38 @@ def _assemble_features(df: DataFrame, feature_cols: list[str], out: str = "featu
         else:
             parts.append(F.array(F.col(c).cast("double")))
     return df.withColumn(out, array_to_vector(F.flatten(F.array(*parts))))
+
+
+def _drop_training_summary(model) -> None:
+    """Strip the MLlib training summary right after fit.
+
+    LogisticRegressionModel.trainingSummary holds the fitting
+    SparkSession; in Spark 4.1 the session's lazily-initialized
+    `observationManager` is NOT serializable, so once ANY Observation
+    has run in the session (the Pregel runner's per-superstep counters
+    do), every task that serializes the model's transform closure dies
+    with NotSerializableException: ObservationManager. The summary is
+    never used here. setSummary is private[ml] in Scala — public in
+    bytecode — with a documented save/load fallback (summaries are not
+    persisted) if the internal name ever changes.
+    """
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm
+        none_opt = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        model._java_obj.setSummary(none_opt)
+    except Exception:  # pragma: no cover - fallback for API drift
+        import shutil
+        import tempfile
+        import uuid
+
+        path = os.path.join(
+            tempfile.gettempdir(), f"gds_lrm_{uuid.uuid4().hex}"
+        )
+        model.write().overwrite().save(path)
+        model._java_obj = type(model).load(path)._java_obj
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _confusion(pred: DataFrame, label_col: str = "label") -> list[tuple[float, float, int]]:
@@ -169,7 +203,7 @@ class NodeClassificationPipeline:
     def _fit(self, train: DataFrame, params: dict[str, Any]):
         from pyspark.ml.classification import LogisticRegression
 
-        return LogisticRegression(
+        m = LogisticRegression(
             featuresCol="features",
             labelCol="label",
             regParam=float(params.get("penalty", 0.0)),
@@ -178,6 +212,8 @@ class NodeClassificationPipeline:
             family="multinomial",
             standardization=True,
         ).fit(train)
+        _drop_training_summary(m)
+        return m
 
     def train(
         self,
@@ -443,6 +479,7 @@ class LinkPredictionPipeline:
                 featuresCol="features", labelCol="label",
                 regParam=penalty, maxIter=max_iterations, standardization=True,
             ).fit(tr)
+            _drop_training_summary(lr)
 
             from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
