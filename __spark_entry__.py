@@ -493,6 +493,19 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(docs)
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (GPT-2 pre-tokenizer regex, RE2-safe)
+    token counts per document — the pipeline budgeting primitive."""
+    from graph_data_science_spark.pipeline.text import bpe_token_count, token_count
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.load_table(spark, sf_dir, "documents")
     return dedup.dedup_clusters(docs)
@@ -1700,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projected_degree": _q_projected_degree,
         "session_stats": _q_session_stats,
         "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
         "quality_score": _q_quality,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
@@ -1879,6 +1893,12 @@ SELECT doc_id,
                        / len(toks), 4)
             ELSE 0.0 END AS avg_token_len
 FROM t
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       CAST(length(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
+       CAST(length(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+', 0)) AS INTEGER) AS bpe_tokens
+FROM documents
 """,
         "quality_score": rf"""
 WITH t AS (

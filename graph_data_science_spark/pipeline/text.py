@@ -33,6 +33,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: GPT-2-style pre-tokenizer pattern WITHOUT the lookahead clauses
+#: (RE2-compatible so the DuckDB oracle can reproduce it): English
+#: contraction suffixes, optional-space letter runs, optional-space
+#: digit runs, optional-space punctuation runs. This is the standard
+#: first pass of byte-pair encoding — counts track BPE token counts
+#: closely enough for pipeline budgeting without shipping a merges
+#: table.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count — size of the pre-tokenizer match list.
+    Pure JVM regexp (codegen'd), no Python in the path."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(…, n_tokens, n_chars_measured, avg_token_len)."""
     t = tokens(F.col(text_col))

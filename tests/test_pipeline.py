@@ -279,3 +279,22 @@ def test_dedup_clusters(spark):
     assert got[2] == (1, 3, False)
     assert got[3] == (1, 3, False)
     assert got[10] == (10, 1, True)
+
+
+def test_bpe_token_count(spark):
+    from graph_data_science_spark.pipeline.text import bpe_token_count, token_count
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Hello, world! It's 2026 isn't it?",), ("",), ("   ",)],
+        "text string",
+    )
+    got = df.select(
+        token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    # "Hello", ",", " world", "!", " It", "'s", " 2026", " isn", "'t",
+    # " it", "?" -> 11 BPE-ish pieces vs 6 whitespace tokens
+    assert (got[0]["ws"], got[0]["bpe"]) == (6, 11)
+    assert (got[1]["ws"], got[1]["bpe"]) == (0, 0)
+    assert got[2]["bpe"] >= 0  # whitespace-only: no letter/digit/punct runs
