@@ -224,6 +224,51 @@ class Graph:
             directed=self.directed,
         )
 
+    def delete_relationships(self, rel_type: str) -> "Graph":
+        """Drop one relationship type from the graph —
+        GraphDeleteRelationshipProc (proc/catalog/.../
+        GraphDeleteRelationshipProc.java) analog. Returns a new
+        handle; the catalog caller re-registers it."""
+        if "rel_type" not in self.edges.columns:
+            raise ValueError("graph edges carry no rel_type column")
+        return Graph(
+            name=self.name,
+            edges=self.edges.where(F.col("rel_type") != rel_type),
+            nodes=self.nodes,
+            directed=self.directed,
+        )
+
+    def remove_node_properties(self, *properties: str) -> "Graph":
+        """GraphRemoveNodePropertiesProc analog — drop node property
+        columns (never `id`)."""
+        if self.nodes is None:
+            raise ValueError("graph has no node properties")
+        missing = [p for p in properties if p not in self.nodes.columns]
+        if missing:
+            raise ValueError(f"unknown node properties: {missing}")
+        if "id" in properties:
+            raise ValueError("cannot remove the id column")
+        return Graph(
+            name=self.name,
+            edges=self.edges,
+            nodes=self.nodes.drop(*properties),
+            directed=self.directed,
+        )
+
+    def stream_node_properties(self, properties: list[str]) -> DataFrame:
+        """(id, **properties) — GraphStreamNodePropertiesProc analog."""
+        if self.nodes is None:
+            raise ValueError("graph has no node properties")
+        return self.nodes.select("id", *properties)
+
+    def stream_relationship_properties(
+        self, properties: list[str]
+    ) -> DataFrame:
+        """(src, dst, rel_type?, **properties) —
+        GraphStreamRelationshipPropertiesProc analog."""
+        base = [c for c in ("src", "dst", "rel_type") if c in self.edges.columns]
+        return self.edges.select(*base, *properties)
+
     def persist(self, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> "Graph":
         """Pin the edge table — iterative algorithms re-scan it every
         superstep, so one materialization amortizes across the run.

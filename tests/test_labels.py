@@ -75,3 +75,40 @@ def test_missing_labels_column_raises(spark):
     g = Graph(name="nolabels", edges=edge_df(spark, [(0, 1)]))
     with pytest.raises(ValueError, match="node_labels"):
         g.subgraph(node_labels=["User"])
+
+
+def test_catalog_property_procs(spark):
+    # GraphDeleteRelationshipProc / GraphRemoveNodePropertiesProc /
+    # GraphStream{Node,Relationship}PropertiesProc analogs
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.catalog import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, "A", 1.0), (1, 2, "B", 2.0)],
+        "src long, dst long, rel_type string, weight double",
+    )
+    nodes = spark.createDataFrame(
+        [(0, 5.0, "x"), (1, 6.0, "y"), (2, 7.0, "z")],
+        "id long, score double, label string",
+    )
+    g = Graph(name="cat", edges=edges, nodes=nodes)
+
+    g2 = g.delete_relationships("A")
+    assert {r["rel_type"] for r in g2.edges.collect()} == {"B"}
+
+    g3 = g.remove_node_properties("label")
+    assert set(g3.nodes.columns) == {"id", "score"}
+    with pytest.raises(ValueError):
+        g.remove_node_properties("id")
+    with pytest.raises(ValueError):
+        g.remove_node_properties("nope")
+
+    snp = g.stream_node_properties(["score"])
+    assert {(r["id"], r["score"]) for r in snp.collect()} == {(0, 5.0), (1, 6.0), (2, 7.0)}
+
+    srp = g.stream_relationship_properties(["weight"])
+    assert {(r["src"], r["dst"], r["weight"]) for r in srp.collect()} == {
+        (0, 1, 1.0), (1, 2, 2.0)
+    }
