@@ -1032,6 +1032,50 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_modularity_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone modularity optimization (gds.beta.modularityOptimization,
+    beta/modularity/ModularityOptimization.java). Same partition
+    invariants as `louvain` (exact ids are algorithm-internal): every
+    vertex assigned exactly one community that is itself a vertex id,
+    modularity >= the singleton-partition baseline (the optimizer only
+    retains improving sweeps), and the sweep count within the
+    configured bound — all SQL-predictable."""
+    from graph_data_science_spark.algorithms.modularity_opt import (
+        modularity_optimization,
+    )
+    from graph_data_science_spark.algorithms.louvain import _undirected_weighted
+
+    g = _user_tool_graph(spark, sf_dir)
+    r = modularity_optimization(spark, g, max_iterations=10, tolerance=1e-4)
+    comm = r.communities
+    verts = g.vertices()
+    bad_labels = comm.join(
+        verts.withColumnRenamed("id", "community"), "community", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_bad_labels"))
+    missing = verts.join(comm, "id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_unassigned")
+    )
+    stats = comm.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_distinct_ids"),
+    )
+    und = _undirected_weighted(g)
+    row = (
+        und.groupBy("src")
+        .agg(F.sum("w").alias("k"))
+        .agg(F.sum(F.col("k") ** 2).alias("sk2"), F.sum("k").alias("m2"))
+        .collect()[0]
+    )
+    q_singleton = -float(row["sk2"]) / (float(row["m2"]) ** 2)
+    return stats.crossJoin(bad_labels).crossJoin(missing).select(
+        "n_rows", "n_distinct_ids", "n_bad_labels", "n_unassigned",
+        F.lit(bool(r.modularity >= q_singleton - 1e-12)).alias(
+            "modularity_ge_singleton"
+        ),
+        F.lit(bool(1 <= r.ran_iterations <= 10)).alias("ran_in_bounds"),
+    )
+
+
 def _q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validity-oracle form (VERDICT r1): the exact colors depend on
     the tie-breaking hash, but a correct run has (a) every vertex
@@ -1743,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kspanning": _q_kspanning,
         "knn_props": _q_knn_props,
         "louvain": _q_louvain,
+        "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
         "betweenness": _q_betweenness,
@@ -2324,6 +2369,15 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        CAST(0 AS BIGINT) AS n_bad_labels,
        CAST(0 AS BIGINT) AS n_unassigned,
        TRUE AS modularity_ge_singleton
+""",
+        "modularity_optimization": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
+       (SELECT COUNT(*) FROM utverts) AS n_distinct_ids,
+       CAST(0 AS BIGINT) AS n_bad_labels,
+       CAST(0 AS BIGINT) AS n_unassigned,
+       TRUE AS modularity_ge_singleton,
+       TRUE AS ran_in_bounds
 """,
         "celf": f"""
 SELECT CAST({CELF_K} AS INTEGER) AS n_seeds,

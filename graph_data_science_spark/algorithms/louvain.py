@@ -86,7 +86,27 @@ def _modularity(edges_und: DataFrame, comm: DataFrame, m2: float) -> float:
 def _local_moving(
     edges_und: DataFrame, m2: float, max_iterations: int
 ) -> DataFrame:
-    """One Louvain level; returns (id, community).
+    """One Louvain level; returns (id, community)."""
+    comm, _q, _sweeps, _conv = _local_moving_full(edges_und, m2, max_iterations)
+    return comm
+
+
+def _local_moving_full(
+    edges_und: DataFrame,
+    m2: float,
+    max_iterations: int,
+    init: DataFrame | None = None,
+    tolerance: float = 0.0,
+) -> tuple[DataFrame, float, int, bool]:
+    """Local-moving modularity optimization; returns
+    ``(communities, modularity, sweeps_run, converged)``.
+
+    ``init`` optionally seeds the starting assignment as an
+    ``(id, community)`` DataFrame (the reference's ``seedProperty``,
+    beta/modularity/ModularityOptimization.java); vertices absent
+    from ``init`` start in their own singleton. ``tolerance`` > 0
+    stops early once PATIENCE consecutive sweeps improve modularity
+    by less than it (the reference's tolerance-based ``didConverge``).
 
     Deterministic parity half-sweeps (iteration k moves only
     pmod(id, 2) == k%2 vertices against the frozen other block), with
@@ -112,11 +132,21 @@ def _local_moving(
     spark = edges_und.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     k = edges_und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
-    comm = k.select("id", F.col("id").alias("community"), "k").localCheckpoint(True)
+    if init is None:
+        comm = k.select("id", F.col("id").alias("community"), "k")
+    else:
+        comm = k.join(
+            init.select("id", F.col("community").alias("_seed")), "id", "left"
+        ).select(
+            "id", F.coalesce(F.col("_seed"), F.col("id")).alias("community"), "k"
+        )
+    comm = comm.localCheckpoint(True)
     tr = Truncator(spark, every=4)
     best_q = _modularity(edges_und, comm.select("id", "community"), m2)
     best_comm = comm
     since_best = 0
+    sweeps = 0
+    converged = False
 
     for it in range(max_iterations):
         parity = it % 2
@@ -203,16 +233,20 @@ def _local_moving(
         if best_comm is not prev_comm:
             _free_local_checkpoint(prev_comm)
         q = _modularity(edges_und, comm.select("id", "community"), m2)
-        if q > best_q + 1e-12:
+        sweeps = it + 1
+        if q > best_q + max(tolerance, 1e-12):
             best_q, best_comm, since_best = q, comm, 0
         else:
+            if q > best_q + 1e-12:  # sub-tolerance improvement: keep it
+                best_q, best_comm = q, comm
             since_best += 1
             if since_best >= PATIENCE:
+                converged = True
                 break
     # detach the result from the Truncator's scratch dir before close
     out = best_comm.select("id", "community").localCheckpoint(eager=True)
     tr.close()
-    return out
+    return out, best_q, sweeps, converged
 
 
 def louvain(

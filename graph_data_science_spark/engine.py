@@ -271,6 +271,23 @@ class GdsEngine:
 
         return self._proc(graph, run, "community")
 
+    def modularity_optimization(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.beta.modularityOptimization analog (standalone phase-1)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.modularity_opt import (
+            modularity_optimization,
+        )
+
+        def run():
+            res = modularity_optimization(self.spark, graph, **cfg)
+            return res.communities, {
+                "modularity": res.modularity,
+                "ran_iterations": res.ran_iterations,
+                "did_converge": res.did_converge,
+            }
+
+        return self._proc(graph, run, "community")
+
     def scc(self, graph: Graph, **cfg) -> ProcResult:
         graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.scc import scc

@@ -38,7 +38,8 @@ from pyspark.sql import SparkSession
 ALGORITHMS = (
     "pagerank", "article_rank", "eigenvector", "wcc", "label_propagation",
     "triangle_count", "local_clustering_coefficient", "degree_centrality",
-    "louvain", "scc", "k1coloring", "hits", "closeness_centrality",
+    "louvain", "modularity_optimization", "scc", "k1coloring", "hits",
+    "closeness_centrality",
     "harmonic_centrality", "node_similarity", "fastrp", "graphsage",
     "betweenness", "sllpa", "all_shortest_paths",
 )
