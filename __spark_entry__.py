@@ -616,6 +616,26 @@ def _q_scale_stdscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select("c_custkey", F.round("scaled", 6).alias("scaled"))
 
 
+def _q_scale_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG scaler (ScalarScaler.java LOG variant) on a strictly
+    positive column — value-exact."""
+    orders = ev.load_table(spark, sf_dir, "orders")
+    scaled = scale_property(orders, "o_totalprice", "LOG", out_col="scaled")
+    return scaled.select("o_orderkey", F.round("scaled", 6).alias("scaled"))
+
+
+def _q_scale_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = ev.load_table(spark, sf_dir, "customer")
+    scaled = scale_property(cust, "c_acctbal", "L2NORM", out_col="scaled")
+    return scaled.select("c_custkey", F.round("scaled", 8).alias("scaled"))
+
+
+def _q_scale_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = ev.load_table(spark, sf_dir, "customer")
+    scaled = scale_property(cust, "c_acctbal", "CENTER", out_col="scaled")
+    return scaled.select("c_custkey", F.round("scaled", 6).alias("scaled"))
+
+
 def _betweenness_sql(levels: int) -> str:
     """Unrolled Brandes on the undirected user-tool graph: BFS
     distances (min-dist unroll), then sigma (path counts) forward by
@@ -1029,6 +1049,59 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(r.modularity >= q_singleton - 1e-12)).alias(
             "modularity_ge_singleton"
         ),
+    )
+
+
+def _q_graph_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.graph.list density field (GraphInfo formula
+    relationshipCount / (nodeCount * (nodeCount - 1))) — value-exact
+    against the same ratio computed in SQL over the user-tool edges."""
+    from graph_data_science_spark.graph_ops import density
+
+    g = _user_tool_graph(spark, sf_dir)
+    d = density(g)
+    return spark.createDataFrame(
+        [(round(float(d), 12),)], "density double"
+    )
+
+
+def _q_split_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.ml.splitRelationships analog
+    (alpha/.../ml/splitting/EdgeSplitter.java semantics): train/test
+    partition the edge set exactly, and negative test pairs are
+    vertex pairs that are NOT edges. The split itself is a
+    deterministic hash bucket (not SQL-reproducible), so the oracle
+    pins the partition algebra: train+test = |E| (SQL-exact count),
+    train and test disjoint, negatives disjoint from E and drawn from
+    the vertex set."""
+    from graph_data_science_spark.algorithms.walking import split_relationships
+
+    g = _user_tool_graph(spark, sf_dir)
+    parts = split_relationships(spark, g, holdout_fraction=0.2, seed=42)
+    train, test, neg = parts["train"], parts["test"], parts["test_negative"]
+    edges = g.edges.select("src", "dst")
+    n_train = train.count()
+    n_test = test.count()
+    n_overlap = train.select("src", "dst").intersect(
+        test.select("src", "dst")
+    ).count()
+    n_neg = neg.count()
+    n_neg_real = neg.join(edges, ["src", "dst"], "left_semi").count()
+    verts = g.vertices()
+    n_neg_bad_vertex = (
+        neg.join(verts.withColumnRenamed("id", "src"), "src", "left_anti").count()
+        + neg.join(verts.withColumnRenamed("id", "dst"), "dst", "left_anti").count()
+    )
+    return spark.createDataFrame(
+        [(
+            int(n_train + n_test),
+            int(n_overlap),
+            int(n_neg_real),
+            int(n_neg_bad_vertex),
+            bool(n_neg > 0),
+        )],
+        "n_train_plus_test bigint, n_overlap bigint, n_neg_real bigint, "
+        "n_neg_bad_vertex bigint, has_negatives boolean",
     )
 
 
@@ -1805,6 +1878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_full": _q_wcc_full,
         "triangle_global": _q_triangle_global,
         "scale_stdscore": _q_scale_stdscore,
+        "scale_log": _q_scale_log,
+        "scale_l2norm": _q_scale_l2norm,
+        "scale_center": _q_scale_center,
+        "graph_density": _q_graph_density,
+        "split_relationships": _q_split_relationships,
     }
 
 
@@ -2113,6 +2191,34 @@ WITH s AS (SELECT AVG(c_acctbal) AS av, STDDEV_POP(c_acctbal) AS sd FROM custome
 SELECT c_custkey,
        ROUND((c_acctbal - (SELECT av FROM s)) / (SELECT sd FROM s), 6) AS scaled
 FROM customer
+""",
+        "scale_log": """
+SELECT o_orderkey, ROUND(LN(o_totalprice), 6) AS scaled FROM orders
+""",
+        "scale_l2norm": """
+WITH s AS (SELECT SQRT(SUM(c_acctbal * c_acctbal)) AS l2 FROM customer)
+SELECT c_custkey, ROUND(c_acctbal / (SELECT l2 FROM s), 8) AS scaled
+FROM customer
+""",
+        "scale_center": """
+WITH s AS (SELECT AVG(c_acctbal) AS av FROM customer)
+SELECT c_custkey, ROUND(c_acctbal - (SELECT av FROM s), 6) AS scaled
+FROM customer
+""",
+        "graph_density": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT ROUND(
+  CAST((SELECT COUNT(*) FROM ut) AS DOUBLE)
+  / ((SELECT COUNT(*) FROM utverts) * ((SELECT COUNT(*) FROM utverts) - 1)),
+  12) AS density
+""",
+        "split_relationships": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT (SELECT COUNT(*) FROM ut) AS n_train_plus_test,
+       CAST(0 AS BIGINT) AS n_overlap,
+       CAST(0 AS BIGINT) AS n_neg_real,
+       CAST(0 AS BIGINT) AS n_neg_bad_vertex,
+       TRUE AS has_negatives
 """,
         "hits": _hits_sql(HITS_ITERS),
         "closeness_centrality": f"""
