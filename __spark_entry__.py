@@ -115,12 +115,17 @@ def _pagerank_sql(
     verts: str = "verts",
     deg: str = "deg",
     extra_ctes: list[str] | None = None,
+    base_expr: str | None = None,
 ) -> str:
-    """Unrolled GDS PageRank/ArticleRank fixpoint: r_{k+1} = (1-d) +
+    """Unrolled GDS PageRank/ArticleRank fixpoint: r_{k+1} = base(v) +
     d * sum_{u->v} r_k(u) / (deg(u) [+ avgDeg]) — equivalent to the
     engine's delta formulation by telescoping (see pagerank.py).
     `edges`/`verts`/`deg` name the CTEs to iterate over, so the same
-    unroll also serves label-filtered subgraph oracles."""
+    unroll also serves label-filtered subgraph oracles. `base_expr`
+    (a SQL expression over alias ``v``) overrides the constant
+    (1-d) base — the personalized-PageRank init
+    (PageRankComputation.java:65-74: alpha on source nodes, 0
+    elsewhere)."""
     alpha = 1.0 - damping
     denom = f"(d.degree + (SELECT ad FROM avg_deg))" if avg_deg_term else "d.degree"
     ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
@@ -130,10 +135,11 @@ def _pagerank_sql(
             f"avg_deg AS MATERIALIZED (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM {edges})"
             f" / (SELECT CAST(COUNT(*) AS DOUBLE) FROM {verts}) AS ad)"
         )
-    ctes.append(f"pr0 AS MATERIALIZED (SELECT id, {alpha} AS rank FROM {verts})")
+    base = base_expr if base_expr is not None else str(alpha)
+    ctes.append(f"pr0 AS MATERIALIZED (SELECT v.id, {base} AS rank FROM {verts} v)")
     for k in range(1, iters + 1):
         ctes.append(
-            f"pr{k} AS MATERIALIZED (SELECT v.id, {alpha} + {damping} * COALESCE(s.c, 0.0) AS rank "
+            f"pr{k} AS MATERIALIZED (SELECT v.id, {base} + {damping} * COALESCE(s.c, 0.0) AS rank "
             f"FROM {verts} v LEFT JOIN (SELECT e.dst AS id, SUM(p.rank / {denom}) AS c "
             f"FROM {edges} e JOIN pr{k - 1} p ON p.id = e.src "
             f"JOIN {deg} d ON d.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
@@ -348,6 +354,23 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     res = pagerank(
         spark, g, PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    )
+    return res.state.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (PageRankComputation.java:65-74
+    sourceNodes: init alpha on sources, 0 elsewhere; the same delta
+    iteration) from the 5 smallest vertex ids — value-exact against
+    the unrolled SQL fixpoint with the personalized base term."""
+    g = _graph(spark, sf_dir)
+    srcs = [r["id"] for r in g.vertices().orderBy("id").limit(5).collect()]
+    res = pagerank(
+        spark,
+        g,
+        PageRankConfig(
+            tolerance=0.0, max_iterations=PR_ITERS + 1, source_nodes=srcs
+        ),
     )
     return res.state.select("id", F.round("score", 6).alias("score"))
 
@@ -1816,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
         "pagerank": _q_pagerank,
+        "pagerank_personalized": _q_pagerank_personalized,
         "wcc_reply": _q_wcc_reply,
         "label_propagation": _q_label_propagation,
         "triangle_local": _q_triangle_local,
@@ -1901,6 +1925,13 @@ def oracle_sql() -> dict[str, str]:
                 "tdeg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS degree "
                 "FROM tedges GROUP BY src)",
             ],
+        ),
+        "pagerank_personalized": _pagerank_sql(
+            PR_ITERS,
+            extra_ctes=[
+                "srcs AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT 5)"
+            ],
+            base_expr="(CASE WHEN v.id IN (SELECT id FROM srcs) THEN 0.15 ELSE 0.0 END)",
         ),
         "article_rank": _pagerank_sql(PR_ITERS, avg_deg_term=True),
         "eigenvector": _eigenvector_sql(EIG_ITERS),
