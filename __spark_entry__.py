@@ -116,6 +116,7 @@ def _pagerank_sql(
     deg: str = "deg",
     extra_ctes: list[str] | None = None,
     base_expr: str | None = None,
+    weight_col: str | None = None,
 ) -> str:
     """Unrolled GDS PageRank/ArticleRank fixpoint: r_{k+1} = base(v) +
     d * sum_{u->v} r_k(u) / (deg(u) [+ avgDeg]) — equivalent to the
@@ -125,7 +126,10 @@ def _pagerank_sql(
     (a SQL expression over alias ``v``) overrides the constant
     (1-d) base — the personalized-PageRank init
     (PageRankComputation.java:65-74: alpha on source nodes, 0
-    elsewhere)."""
+    elsewhere). `weight_col` names a weight column on the edges CTE
+    for the weighted variant (message share * w, degree = weighted
+    degree — PageRankComputation.java:106-108; the caller's `deg`
+    CTE must then be SUM(w))."""
     alpha = 1.0 - damping
     denom = f"(d.degree + (SELECT ad FROM avg_deg))" if avg_deg_term else "d.degree"
     ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
@@ -137,10 +141,13 @@ def _pagerank_sql(
         )
     base = base_expr if base_expr is not None else str(alpha)
     ctes.append(f"pr0 AS MATERIALIZED (SELECT v.id, {base} AS rank FROM {verts} v)")
+    msg = f"p.rank / {denom}"
+    if weight_col:
+        msg = f"p.rank / {denom} * e.{weight_col}"
     for k in range(1, iters + 1):
         ctes.append(
             f"pr{k} AS MATERIALIZED (SELECT v.id, {base} + {damping} * COALESCE(s.c, 0.0) AS rank "
-            f"FROM {verts} v LEFT JOIN (SELECT e.dst AS id, SUM(p.rank / {denom}) AS c "
+            f"FROM {verts} v LEFT JOIN (SELECT e.dst AS id, SUM({msg}) AS c "
             f"FROM {edges} e JOIN pr{k - 1} p ON p.id = e.src "
             f"JOIN {deg} d ON d.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
         )
@@ -371,6 +378,29 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         PageRankConfig(
             tolerance=0.0, max_iterations=PR_ITERS + 1, source_nodes=srcs
         ),
+    )
+    return res.state.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (relationshipWeightProperty,
+    PageRankComputation.java:106-108: message share multiplied by
+    edge weight, degree = weighted degree via DegreeCentrality,
+    PageRankAlgorithmFactory.java:137-157) on the count-weighted
+    user->tool invocation graph — value-exact against the unrolled
+    weighted SQL fixpoint."""
+    events = ev.load_table(spark, sf_dir, "events")
+    edges = (
+        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
+        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .withColumn("rel_type", F.lit("USES"))
+    )
+    g = Graph(name="ut_weighted", edges=edges)
+    res = pagerank(
+        spark,
+        g,
+        PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1, weighted=True),
     )
     return res.state.select("id", F.round("score", 6).alias("score"))
 
@@ -1840,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts": _q_transcripts,
         "pagerank": _q_pagerank,
         "pagerank_personalized": _q_pagerank_personalized,
+        "pagerank_weighted": _q_pagerank_weighted,
         "wcc_reply": _q_wcc_reply,
         "label_propagation": _q_label_propagation,
         "triangle_local": _q_triangle_local,
@@ -1932,6 +1963,22 @@ def oracle_sql() -> dict[str, str]:
                 "srcs AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT 5)"
             ],
             base_expr="(CASE WHEN v.id IN (SELECT id FROM srcs) THEN 0.15 ELSE 0.0 END)",
+        ),
+        "pagerank_weighted": _pagerank_sql(
+            PR_ITERS,
+            edges="wedges",
+            verts="wverts",
+            deg="wdeg",
+            weight_col="w",
+            extra_ctes=[
+                "wedges AS MATERIALIZED (SELECT e.user_id AS src, tl.tool_vid AS dst, "
+                "CAST(COUNT(*) AS DOUBLE) AS w FROM events e JOIN tools tl "
+                "USING (event_type) GROUP BY 1, 2)",
+                "wverts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+                "SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges) u)",
+                "wdeg AS MATERIALIZED (SELECT src AS id, SUM(w) AS degree "
+                "FROM wedges GROUP BY src)",
+            ],
         ),
         "article_rank": _pagerank_sql(PR_ITERS, avg_deg_term=True),
         "eigenvector": _eigenvector_sql(EIG_ITERS),
