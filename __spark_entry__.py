@@ -449,6 +449,23 @@ def _q_wcc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state
 
 
+def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCC with the weight-threshold predicate (Wcc.java:299-320:
+    union only edges with weight > threshold; every node keeps a
+    component — filtered-out vertices become singletons) on the
+    count-weighted user->tool graph — value-exact min-label SQL."""
+    events = ev.load_table(spark, sf_dir, "events")
+    edges = (
+        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
+        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .withColumn("rel_type", F.lit("USES"))
+    )
+    g = Graph(name="ut_weighted_wcc", edges=edges)
+    res = wcc(spark, g, WccConfig(threshold=1.5))
+    return res.state.select("id", F.col("component"))
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir, orientation="UNDIRECTED")
     res = label_propagation(
@@ -1931,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "celf": _q_celf,
         "graphsage": _q_graphsage,
         "wcc_full": _q_wcc_full,
+        "wcc_threshold": _q_wcc_threshold,
         "triangle_global": _q_triangle_global,
         "scale_stdscore": _q_scale_stdscore,
         "scale_log": _q_scale_log,
@@ -2509,6 +2527,24 @@ SELECT id_a, id_b, cosine FROM (
 ) s WHERE cosine >= 0.4
 """,
         "wcc_full": _wcc_full_sql(),
+        "wcc_threshold": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+wedges AS MATERIALIZED (
+  SELECT e.user_id AS src, tl.tool_vid AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM events e JOIN tools tl USING (event_type) GROUP BY 1, 2
+),
+wverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges) u
+),
+wtu AS MATERIALIZED (
+  SELECT src, dst FROM wedges WHERE w > 1.5
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM wedges WHERE w > 1.5
+),
+{_min_label_ctes("wverts", "wtu", WCC_ROUNDS, prefix="wl")}
+SELECT id, lbl AS component FROM wl{WCC_ROUNDS}
+""",
         "fastrp": _fastrp_sql(FASTRP_DIM),
         "k1coloring": f"""
 WITH {pre}

@@ -110,9 +110,15 @@ def wcc(
     if cfg.seed_column and graph.nodes is not None:
         seeds = graph.nodes.select("id", F.col(cfg.seed_column).alias("seed"))
 
+    # threshold-filtered vertices must survive as singleton components
+    # (Wcc.java unions only passing edges but keeps every node), so an
+    # edges-only graph pins its PRE-filter vertex set explicitly
+    nodes = graph.nodes
+    if nodes is None and cfg.threshold is not None:
+        nodes = graph.vertices()
     undirected = Graph(name=f"{graph.name}__wcc", edges=edges.select(
         "src", "dst", F.lit("REL").alias("rel_type"), F.col("weight")
-    ), nodes=graph.nodes, directed=False).persist()
+    ), nodes=nodes, directed=False).persist()
 
     try:
         runner = PregelRunner(
