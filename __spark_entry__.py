@@ -1175,6 +1175,39 @@ def _q_split_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV graph export -> import round-trip
+    (CsvGraphStoreExporter / CsvGraphStoreImporter.java:60 analog):
+    the re-imported edge set must equal the original exactly. The
+    oracle pins the SQL-exact edge count plus zero symmetric
+    difference."""
+    import shutil
+    import tempfile
+
+    from graph_data_science_spark.catalog import GraphCatalog
+    from graph_data_science_spark.graph_ops import export_graph, import_graph
+
+    g = _user_tool_graph(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="gds_csv_rt_")
+    try:
+        export_graph(g, workdir, fmt="csv")
+        g2 = import_graph(spark, GraphCatalog(), "ut_rt", workdir, fmt="csv")
+        orig = g.edges.select("src", "dst")
+        got = g2.edges.select("src", "dst")
+        n_orig = orig.count()
+        n_got = got.count()
+        n_missing = orig.subtract(got).count()
+        n_extra = got.subtract(orig).count()
+        directed_preserved = bool(g2.directed == g.directed)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_orig), int(n_got), int(n_missing), int(n_extra), directed_preserved)],
+        "n_edges bigint, n_imported bigint, n_missing bigint, n_extra bigint, "
+        "directed_preserved boolean",
+    )
+
+
 def _q_modularity_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone modularity optimization (gds.beta.modularityOptimization,
     beta/modularity/ModularityOptimization.java). Same partition
@@ -1955,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_l2norm": _q_scale_l2norm,
         "scale_center": _q_scale_center,
         "graph_density": _q_graph_density,
+        "csv_roundtrip": _q_csv_roundtrip,
         "split_relationships": _q_split_relationships,
     }
 
@@ -2307,6 +2341,14 @@ SELECT ROUND(
   CAST((SELECT COUNT(*) FROM ut) AS DOUBLE)
   / ((SELECT COUNT(*) FROM utverts) * ((SELECT COUNT(*) FROM utverts) - 1)),
   12) AS density
+""",
+        "csv_roundtrip": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT (SELECT COUNT(*) FROM ut) AS n_edges,
+       (SELECT COUNT(*) FROM ut) AS n_imported,
+       CAST(0 AS BIGINT) AS n_missing,
+       CAST(0 AS BIGINT) AS n_extra,
+       TRUE AS directed_preserved
 """,
         "split_relationships": f"""
 WITH {USER_TOOL_PRELUDE.strip()}
