@@ -479,6 +479,21 @@ def _q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_centrality(spark, g)
 
 
+def _q_degree_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted REVERSE degree (DegreeCentrality.java:79-160:
+    orientation REVERSE = in-degree, weighted = sum of positive
+    weights) on the count-weighted user->tool graph — value-exact."""
+    events = ev.load_table(spark, sf_dir, "events")
+    edges = (
+        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
+        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .withColumn("rel_type", F.lit("USES"))
+    )
+    g = Graph(name="ut_weighted_deg", edges=edges)
+    return degree_centrality(spark, g, orientation="REVERSE", weighted=True)
+
+
 def _q_triangle_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir, persist=False)
     return triangle_count(spark, g).local_counts
@@ -952,6 +967,19 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_data_science_spark.algorithms.msbfs import closeness_centrality
 
     return closeness_centrality(spark, _user_tool_graph(spark, sf_dir))
+
+
+def _q_closeness_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserman-Faust closeness
+    (MSClosenessCentrality.java:153-163 improved=true:
+    (reach/farness) * (reach/(n-1))) — value-exact; the user-tool
+    graph is below the sampling threshold so the sweep is exact."""
+    from graph_data_science_spark.algorithms.msbfs import closeness_centrality
+
+    out = closeness_centrality(
+        spark, _user_tool_graph(spark, sf_dir), wasserman_faust=True
+    )
+    return out.select("id", F.round("centrality", 9).alias("centrality"))
 
 
 def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1930,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
         "degree_centrality": _q_degree,
+        "degree_weighted": _q_degree_weighted,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity": _q_node_similarity,
         "projected_degree": _q_projected_degree,
@@ -1951,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_minmax": _q_scale_minmax,
         "hits": _q_hits,
         "closeness_centrality": _q_closeness,
+        "closeness_wasserman_faust": _q_closeness_wf,
         "harmonic_centrality": _q_harmonic,
         "khop_counts": _q_khop_tools,
         "all_shortest_paths": _q_all_shortest_paths,
@@ -2039,6 +2069,23 @@ WITH {pre}
 SELECT vid AS id, user_id * 1000000 AS component
 FROM tv
 WHERE user_id IN (SELECT user_id FROM turns GROUP BY user_id HAVING COUNT(*) >= 2)
+""",
+        "degree_weighted": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+wedges AS MATERIALIZED (
+  SELECT e.user_id AS src, tl.tool_vid AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM events e JOIN tools tl USING (event_type) GROUP BY 1, 2
+),
+wverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges) u
+)
+SELECT v.id, COALESCE(d.score, 0.0) AS score
+FROM wverts v
+LEFT JOIN (
+  SELECT dst AS id, SUM(CASE WHEN w > 0 THEN w ELSE 0.0 END) AS score
+  FROM wedges GROUP BY dst
+) d ON d.id = v.id
 """,
         "label_propagation": _labelprop_sql(LP_ITERS),
         "degree_centrality": f"""
@@ -2366,6 +2413,22 @@ seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM utverts),
 SELECT v.id,
        CASE WHEN a.farness IS NULL OR a.farness = 0 THEN 0.0
             ELSE a.reach / a.farness END AS centrality
+FROM utverts v
+LEFT JOIN (
+  SELECT id, SUM(dist) AS farness, COUNT(*) AS reach
+  FROM d{BFS_LEVELS} WHERE dist > 0 GROUP BY id
+) a ON a.id = v.id
+""",
+        "closeness_wasserman_faust": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+seed AS MATERIALIZED (SELECT id AS source, id, 0 AS dist FROM utverts),
+{_bfs_dist_ctes("utu", "seed", BFS_LEVELS)}
+SELECT v.id,
+       ROUND(CASE WHEN a.farness IS NULL OR a.farness = 0 THEN 0.0
+            ELSE (a.reach / a.farness)
+                 * (a.reach * 1.0
+                    / ((SELECT COUNT(*) FROM utverts) - 1)) END,
+             9) AS centrality
 FROM utverts v
 LEFT JOIN (
   SELECT id, SUM(dist) AS farness, COUNT(*) AS reach
