@@ -183,16 +183,30 @@ def _eigenvector_sql(iters: int) -> str:
     )
 
 
-def _labelprop_sql(iters: int) -> str:
+def _labelprop_sql(
+    iters: int,
+    und_sql: str | None = None,
+    verts: str = "verts",
+    vote_expr: str = "1.0",
+    extra_ctes: list[str] | None = None,
+) -> str:
     """Unrolled synchronous LP on the undirected graph: per round each
     vertex adopts the argmax-weight neighbor label, ties to the
-    smaller label, keep when no votes (ComputeStepConsumer.java:64-77)."""
+    smaller label, keep when no votes (ComputeStepConsumer.java:64-77).
+    `und_sql` overrides the both-direction edge CTE body and
+    `vote_expr` the per-edge vote weight (``e.w`` for the weighted
+    variant, ComputeStepConsumer.java:44-58)."""
     ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
-    ctes.append("und AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)")
-    ctes.append("l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)")
+    ctes.extend(extra_ctes or [])
+    ctes.append(
+        "und AS MATERIALIZED ("
+        + (und_sql or "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges")
+        + ")"
+    )
+    ctes.append(f"l0 AS MATERIALIZED (SELECT id, id AS label FROM {verts})")
     for k in range(1, iters + 1):
         ctes.append(
-            f"v{k} AS MATERIALIZED (SELECT e.src AS id, p.label AS vlabel, SUM(1.0) AS total "
+            f"v{k} AS MATERIALIZED (SELECT e.src AS id, p.label AS vlabel, SUM({vote_expr}) AS total "
             f"FROM und e JOIN l{k - 1} p ON p.id = e.dst GROUP BY e.src, p.label)"
         )
         ctes.append(
@@ -446,6 +460,32 @@ def _q_wcc_reply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_wcc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     res = wcc(spark, g, WccConfig())
+    return res.state
+
+
+def _q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation (ComputeStepConsumer.java:44-58:
+    votes weighted by relationship weight) on the count-weighted
+    user->tool graph, Jacobi blocks=1 — value-exact unrolled SQL."""
+    events = ev.load_table(spark, sf_dir, "events")
+    edges = (
+        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
+        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .withColumn("rel_type", F.lit("USES"))
+    )
+    und = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            "rel_type", "weight",
+        )
+    )
+    g = Graph(name="ut_weighted_lp", edges=und, directed=False)
+    res = label_propagation(
+        spark,
+        g,
+        LabelPropagationConfig(max_iterations=LP_ITERS, blocks=1, weighted=True),
+    )
     return res.state
 
 
@@ -1951,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "wcc_reply": _q_wcc_reply,
         "label_propagation": _q_label_propagation,
+        "label_propagation_weighted": _q_label_propagation_weighted,
         "triangle_local": _q_triangle_local,
         "node_classification": _q_node_classification,
         "link_prediction": _q_link_prediction,
@@ -2070,6 +2111,22 @@ SELECT vid AS id, user_id * 1000000 AS component
 FROM tv
 WHERE user_id IN (SELECT user_id FROM turns GROUP BY user_id HAVING COUNT(*) >= 2)
 """,
+        "label_propagation_weighted": _labelprop_sql(
+            LP_ITERS,
+            und_sql=(
+                "SELECT src, dst, w FROM wedges "
+                "UNION ALL SELECT dst AS src, src AS dst, w FROM wedges"
+            ),
+            verts="wverts",
+            vote_expr="e.w",
+            extra_ctes=[
+                "wedges AS MATERIALIZED (SELECT e.user_id AS src, tl.tool_vid AS dst, "
+                "CAST(COUNT(*) AS DOUBLE) AS w FROM events e JOIN tools tl "
+                "USING (event_type) GROUP BY 1, 2)",
+                "wverts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+                "SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges) u)",
+            ],
+        ),
         "degree_weighted": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},
 wedges AS MATERIALIZED (
