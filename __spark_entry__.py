@@ -539,6 +539,18 @@ def _q_triangle_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(spark, g).local_counts
 
 
+TRIANGLE_MAX_DEGREE = 10
+
+
+def _q_triangle_maxdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count with the maxDegree hub guard
+    (TriangleCountBaseConfig.java:29-33 applied at
+    IntersectingTriangleCount.java:162-166: hubs above the bound are
+    excluded from intersections and marked -1) — value-exact."""
+    g = _graph(spark, sf_dir, persist=False)
+    return triangle_count(spark, g, max_degree=TRIANGLE_MAX_DEGREE).local_counts
+
+
 def _q_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir, persist=False)
     tr = triangle_count(spark, g)
@@ -1993,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "label_propagation_weighted": _q_label_propagation_weighted,
         "triangle_local": _q_triangle_local,
+        "triangle_maxdegree": _q_triangle_maxdegree,
         "node_classification": _q_node_classification,
         "link_prediction": _q_link_prediction,
         "pagerank_turns": _q_pagerank_turns,
@@ -2158,6 +2171,36 @@ FROM verts v LEFT JOIN tcount t ON t.id = v.id
         "triangle_global": f"""
 WITH {TRIANGLE_PRELUDE}
 SELECT COUNT(*) AS n_triangles FROM tri
+""",
+        "triangle_maxdegree": f"""
+WITH {TRIANGLE_PRELUDE},
+mdeg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT a AS id FROM canon UNION ALL SELECT b FROM canon
+  ) ends GROUP BY id
+),
+mhubs AS MATERIALIZED (
+  SELECT id FROM mdeg WHERE degree > {TRIANGLE_MAX_DEGREE}
+),
+mkept AS MATERIALIZED (
+  SELECT a, b FROM canon
+  WHERE a NOT IN (SELECT id FROM mhubs) AND b NOT IN (SELECT id FROM mhubs)
+),
+mtri AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM mkept e1
+  JOIN mkept e2 ON e2.a = e1.b
+  JOIN mkept e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+mtcount AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT a AS id FROM mtri UNION ALL SELECT b FROM mtri UNION ALL SELECT c FROM mtri
+  ) corners GROUP BY id
+)
+SELECT v.id,
+       CASE WHEN v.id IN (SELECT id FROM mhubs) THEN -1
+            ELSE COALESCE(t.triangles, 0) END AS triangles
+FROM verts v LEFT JOIN mtcount t ON t.id = v.id
 """,
         "local_clustering_coefficient": f"""
 WITH {TRIANGLE_PRELUDE},
