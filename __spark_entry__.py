@@ -419,6 +419,39 @@ def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("score", 6).alias("score"))
 
 
+def _q_engine_mutate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-facade round trip: GdsEngine.pagerank(...).mutate("pr")
+    then streamNodeProperties — the .mutate mode
+    (GraphStore.addNodeProperty, api/GraphStore.java:91-95) feeding
+    the catalog property stream proc. The streamed property must be
+    value-exact against the same unrolled PageRank SQL as the direct
+    query."""
+    from graph_data_science_spark.engine import GdsEngine
+
+    g = _graph(spark, sf_dir)
+    res = GdsEngine(spark).pagerank(
+        g, tolerance=0.0, max_iterations=PR_ITERS + 1
+    )
+    g2 = res.mutate("pr")
+    out = g2.stream_node_properties(["pr"])
+    return out.select("id", F.round("pr", 6).alias("score"))
+
+
+def _q_subgraph_node_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-id-filtered subgraph (catalog.Graph.subgraph(node_ids=...),
+    the IdMap.withFilteredLabels analog, core/.../loading/
+    IdMap.java:181): keep the user vertices plus the single smallest
+    tool vertex id, then NATURAL degree centrality on the induced
+    subgraph — value-exact."""
+    g = _user_tool_graph(spark, sf_dir)
+    keep = g.vertices().where(
+        (F.col("id") >= 0)
+        | (F.col("id") == F.lit(g.vertices().agg(F.min("id")).collect()[0][0]))
+    )
+    sub = g.subgraph(node_ids=keep)
+    return degree_centrality(spark, sub)
+
+
 def _q_pagerank_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nodeLabels-filtered PageRank: labels=['Turn'] keeps only turn
     vertices, so the surviving edges are exactly the REPLY chains
@@ -2001,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_weighted": _q_pagerank_weighted,
+        "engine_mutate_stream": _q_engine_mutate_stream,
+        "subgraph_node_ids": _q_subgraph_node_ids,
         "wcc_reply": _q_wcc_reply,
         "label_propagation": _q_label_propagation,
         "label_propagation_weighted": _q_label_propagation_weighted,
@@ -2116,6 +2151,24 @@ def oracle_sql() -> dict[str, str]:
                 "FROM wedges GROUP BY src)",
             ],
         ),
+        "engine_mutate_stream": _pagerank_sql(PR_ITERS),
+        "subgraph_node_ids": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+keep AS MATERIALIZED (
+  SELECT id FROM utverts
+  WHERE id >= 0 OR id = (SELECT MIN(id) FROM utverts)
+),
+kedges AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ut e
+  JOIN keep k1 ON k1.id = e.src JOIN keep k2 ON k2.id = e.dst
+)
+SELECT k.id, COALESCE(d.score, 0.0) AS score
+FROM keep k
+LEFT JOIN (
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS score
+  FROM kedges GROUP BY src
+) d ON d.id = k.id
+""",
         "article_rank": _pagerank_sql(PR_ITERS, avg_deg_term=True),
         "eigenvector": _eigenvector_sql(EIG_ITERS),
         "wcc_reply": f"""
