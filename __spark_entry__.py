@@ -691,6 +691,24 @@ def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(emb, emb, k=5)
 
 
+def _q_ann_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k under the Pearson kernel (alpha
+    similarity fn parity, alpha/.../impl/similarity/ Pearson) —
+    value-exact: the SQL mirrors the engine's left-to-right float64
+    folds term by term."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.similarity_topk(emb, emb, k=5, metric="pearson", out_col="pearson")
+
+
+def _q_ann_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k under the euclidean 1/(1+distance)
+    kernel (alpha similarity fn parity) — value-exact."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.similarity_topk(
+        emb, emb, k=5, metric="euclidean", out_col="euclidean"
+    )
+
+
 ANN_DIM = 64
 ANN_LSH_PLANES = 8
 ANN_LSH_TABLES = 2
@@ -2063,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_brute,
+        "ann_pearson_topk": _q_ann_pearson,
+        "ann_euclidean_topk": _q_ann_euclidean,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "cosine_near_duplicates": _q_cosine_near_dups,
@@ -2505,6 +2525,53 @@ SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INTEGER) AS 
 FROM (
   SELECT query_id, neighbor_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+           AS rank
+  FROM pairs
+) x WHERE rank <= 5
+""",
+        "ann_pearson_topk": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (CAST(len(q.v) AS DOUBLE)
+            * list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, c.v), x -> x[1]*x[2])), (acc,z) -> acc+z)
+          - list_reduce(list_prepend(0.0, q.v), (acc,z) -> acc+z)
+            * list_reduce(list_prepend(0.0, c.v), (acc,z) -> acc+z))
+         / (SQRT(CAST(len(q.v) AS DOUBLE)
+                 * list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, q.v), x -> x[1]*x[2])), (acc,z) -> acc+z)
+               - list_reduce(list_prepend(0.0, q.v), (acc,z) -> acc+z)
+                 * list_reduce(list_prepend(0.0, q.v), (acc,z) -> acc+z))
+            * SQRT(CAST(len(c.v) AS DOUBLE)
+                 * list_reduce(list_prepend(0.0, list_transform(list_zip(c.v, c.v), x -> x[1]*x[2])), (acc,z) -> acc+z)
+               - list_reduce(list_prepend(0.0, c.v), (acc,z) -> acc+z)
+                 * list_reduce(list_prepend(0.0, c.v), (acc,z) -> acc+z))) AS sim
+  FROM e q, e c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS pearson, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+           AS rank
+  FROM pairs
+) x WHERE rank <= 5
+""",
+        "ann_euclidean_topk": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         1.0 / (1.0 + SQRT(list_reduce(
+           list_prepend(0.0, list_transform(list_zip(q.v, c.v), x -> POW(x[1]-x[2], 2))),
+           (acc,z) -> acc+z))) AS sim
+  FROM e q, e c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS euclidean, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
            AS rank
   FROM pairs
 ) x WHERE rank <= 5
