@@ -1306,6 +1306,58 @@ def _q_split_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEN_N = 2000
+GEN_AVG = 4
+
+
+def _q_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random graph generator
+    (core/.../beta/generator/RandomGraphGenerator.java): UNIFORM
+    distribution emits exactly average_degree edges per node, ids in
+    [0, n), and the topology is a pure hash of (node, slot, seed) —
+    deterministic at any parallelism, so two generations are
+    identical. All SQL-predictable facts."""
+    from graph_data_science_spark.generator import generate_graph
+
+    a = generate_graph(spark, GEN_N, GEN_AVG, "UNIFORM", seed=7)
+    b = generate_graph(spark, GEN_N, GEN_AVG, "UNIFORM", seed=7)
+    n_edges = a.count()
+    n_src_bad = a.where((F.col("src") < 0) | (F.col("src") >= GEN_N)).count()
+    n_dst_bad = a.where((F.col("dst") < 0) | (F.col("dst") >= GEN_N)).count()
+    n_distinct_src = a.select("src").distinct().count()
+    # determinism: two generations are row-for-row identical
+    # (multiset equality via counted symmetric difference)
+    ka = a.groupBy("src", "dst", "weight").count()
+    kb = b.groupBy("src", "dst", "weight").count()
+    deterministic = ka.subtract(kb).isEmpty() and kb.subtract(ka).isEmpty()
+    return spark.createDataFrame(
+        [(
+            int(n_edges), int(n_src_bad), int(n_dst_bad), int(n_distinct_src),
+            bool(deterministic),
+        )],
+        "n_edges bigint, n_src_bad bigint, n_dst_bad bigint, "
+        "n_distinct_src bigint, deterministic boolean",
+    )
+
+
+def _q_engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The .stats sink (StatsProc analog): count/min/max/mean of the
+    degree-centrality result through the engine facade — each
+    SQL-exact (the approx percentile histogram is driver-level
+    metadata, excluded by design)."""
+    from graph_data_science_spark.engine import GdsEngine
+
+    g = _user_tool_graph(spark, sf_dir)
+    st = GdsEngine(spark).degree_centrality(g).stats()
+    return spark.createDataFrame(
+        [(
+            int(st["count"]), float(st["min"]), float(st["max"]),
+            round(float(st["mean"]), 9),
+        )],
+        "n bigint, min double, max double, mean double",
+    )
+
+
 def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV graph export -> import round-trip
     (CsvGraphStoreExporter / CsvGraphStoreImporter.java:60 analog):
@@ -2128,6 +2180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_center": _q_scale_center,
         "graph_density": _q_graph_density,
         "csv_roundtrip": _q_csv_roundtrip,
+        "generator": _q_generator,
+        "engine_stats": _q_engine_stats,
         "split_relationships": _q_split_relationships,
     }
 
@@ -2608,6 +2662,25 @@ SELECT ROUND(
   CAST((SELECT COUNT(*) FROM ut) AS DOUBLE)
   / ((SELECT COUNT(*) FROM utverts) * ((SELECT COUNT(*) FROM utverts) - 1)),
   12) AS density
+""",
+        "generator": f"""
+SELECT CAST({GEN_N * GEN_AVG} AS BIGINT) AS n_edges,
+       CAST(0 AS BIGINT) AS n_src_bad,
+       CAST(0 AS BIGINT) AS n_dst_bad,
+       CAST({GEN_N} AS BIGINT) AS n_distinct_src,
+       TRUE AS deterministic
+""",
+        "engine_stats": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+sc AS (
+  SELECT v.id, COALESCE(d.c, 0.0) AS score
+  FROM utverts v LEFT JOIN (
+    SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS c FROM ut GROUP BY src
+  ) d ON d.id = v.id
+)
+SELECT COUNT(*) AS n, MIN(score) AS min, MAX(score) AS max,
+       ROUND(AVG(score), 9) AS mean
+FROM sc
 """,
         "csv_roundtrip": f"""
 WITH {USER_TOOL_PRELUDE.strip()}
