@@ -601,6 +601,22 @@ def _q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_similarity(spark, g, NodeSimilarityConfig())
 
 
+def _q_node_similarity_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relationshipWeightProperty node similarity
+    (NodeSimilarity.java:324-363 weightedJaccard: sum-of-min over
+    the intersection divided by total1 + total2 - sum-of-min) on the
+    count-weighted user->tool graph — value-exact."""
+    events = ev.load_table(spark, sf_dir, "events")
+    edges = (
+        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
+        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .withColumn("rel_type", F.lit("USES"))
+    )
+    g = Graph(name="ut_weighted_sim", edges=edges)
+    return node_similarity(spark, g, NodeSimilarityConfig(weighted=True))
+
+
 def _q_projected_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cypher-projection analog: the graph IS a SQL query
     (GraphCreateProc.java:122-151 → spark.sql)."""
@@ -2120,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_weighted": _q_degree_weighted,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity": _q_node_similarity,
+        "node_similarity_weighted": _q_node_similarity_weighted,
         "projected_degree": _q_projected_degree,
         "session_stats": _q_session_stats,
         "text_stats": _q_text_stats,
@@ -2363,6 +2380,36 @@ inter AS (
 sims AS (
   SELECT node1, node2,
          ROUND(inter / (d1.deg + d2.deg - inter), 6) AS similarity
+  FROM inter
+  JOIN dg d1 ON d1.src = node1
+  JOIN dg d2 ON d2.src = node2
+)
+SELECT node1, node2, similarity, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT node1, node2, similarity,
+         ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rank
+  FROM sims WHERE similarity >= 1e-42
+) x WHERE rank <= 10
+""",
+        "node_similarity_weighted": """
+WITH tools AS MATERIALIZED (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+wut AS MATERIALIZED (
+  SELECT e.user_id AS src, tl.tool_vid AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM events e JOIN tools tl USING (event_type) GROUP BY 1, 2
+),
+dg AS (SELECT src, COUNT(*) AS deg, SUM(w) AS tot FROM wut GROUP BY src),
+inter AS (
+  SELECT a.src AS node1, b.src AS node2, SUM(LEAST(a.w, b.w)) AS inter_min
+  FROM wut a JOIN wut b ON a.dst = b.dst AND a.src <> b.src
+  GROUP BY a.src, b.src
+),
+sims AS (
+  SELECT node1, node2,
+         ROUND(inter_min / (d1.tot + d2.tot - inter_min), 6) AS similarity
   FROM inter
   JOIN dg d1 ON d1.src = node1
   JOIN dg d2 ON d2.src = node2

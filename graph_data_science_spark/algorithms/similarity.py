@@ -28,6 +28,11 @@ class NodeSimilarityConfig:
     similarity_cutoff: float = 1e-42
     top_k: int = 10
     metric: str = "JACCARD"  # JACCARD | OVERLAP
+    #: relationshipWeightProperty analog (NodeSimilarity.java:76,
+    #: weightedJaccard :324-363): jaccard = sum(min(w1,w2)) /
+    #: (total1 + total2 - sum(min)), overlap = sum(min) /
+    #: min(total1, total2); parallel edges aggregate by weight sum
+    weighted: bool = False
     #: shared neighbors with in-degree above this take the 2-D salted
     #: pair-generation path (the hub-dst n^2 blowup otherwise lands
     #: in ONE task — AQE splits post-shuffle partitions but cannot
@@ -46,14 +51,27 @@ def node_similarity(
 ) -> DataFrame:
     """(node1, node2, similarity, rank) — top-K similar per node."""
     cfg = config or NodeSimilarityConfig()
-    edges = graph.view().select("src", "dst").dropDuplicates(["src", "dst"])
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if cfg.weighted:
+        edges = (
+            graph.view(weight_property=True)
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("_w"))
+        )
+    else:
+        edges = graph.view().select("src", "dst").dropDuplicates(["src", "dst"])
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg"),
+        *([F.sum("_w").alias("tot")] if cfg.weighted else []),
+    )
     eligible = deg.where(F.col("deg") >= cfg.degree_cutoff)
     e = edges.join(eligible.select("src"), "src", "left_semi")
 
-    a = e.select(F.col("src").alias("node1"), "dst")
-    b = e.select(F.col("src").alias("node2"), "dst")
+    wcols1 = [F.col("_w").alias("_w1")] if cfg.weighted else []
+    wcols2 = [F.col("_w").alias("_w2")] if cfg.weighted else []
+    a = e.select(F.col("src").alias("node1"), "dst", *wcols1)
+    b = e.select(F.col("src").alias("node2"), "dst", *wcols2)
 
+    pcols = ["node1", "node2"] + (["_w1", "_w2"] if cfg.weighted else [])
     if cfg.hub_threshold > 0:
         # hub-aware split: dsts shared by more than hub_threshold
         # sources explode n^2 pairs into a single join-key task; route
@@ -74,11 +92,11 @@ def node_similarity(
             # join and pay only the one degree aggregate, not the
             # anti/semi/salt-join plumbing
             hubs.unpersist()
-            pairs = a.join(b, "dst").select("node1", "node2")
+            pairs = a.join(b, "dst").select(*pcols)
         else:
             a_n = a.join(F.broadcast(hubs), "dst", "left_anti")
             b_n = b.join(F.broadcast(hubs), "dst", "left_anti")
-            pairs_n = a_n.join(b_n, "dst").select("node1", "node2")
+            pairs_n = a_n.join(b_n, "dst").select(*pcols)
             grid = spark.range(s).select(F.col("id").cast("int").alias("_g"))
             a_h = (
                 a.join(F.broadcast(hubs), "dst", "left_semi")
@@ -90,25 +108,44 @@ def node_similarity(
                 .withColumn("_j", F.pmod(F.xxhash64("node2"), F.lit(s)).cast("int"))
                 .crossJoin(F.broadcast(grid.withColumnRenamed("_g", "_i")))
             )
-            pairs_h = a_h.join(b_h, ["dst", "_i", "_j"]).select("node1", "node2")
+            pairs_h = a_h.join(b_h, ["dst", "_i", "_j"]).select(*pcols)
             pairs = pairs_n.unionByName(pairs_h)
     else:
-        pairs = a.join(b, "dst").select("node1", "node2")
+        pairs = a.join(b, "dst").select(*pcols)
 
+    inter_aggs = [F.count(F.lit(1)).alias("inter")]
+    if cfg.weighted:
+        inter_aggs.append(
+            F.sum(F.least("_w1", "_w2")).alias("inter_min")
+        )
     inter = (
         pairs.where(F.col("node1") != F.col("node2"))
         .groupBy("node1", "node2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(*inter_aggs)
     )
-    d1 = eligible.select(F.col("src").alias("node1"), F.col("deg").alias("deg1"))
-    d2 = eligible.select(F.col("src").alias("node2"), F.col("deg").alias("deg2"))
+    totcols1 = [F.col("tot").alias("tot1")] if cfg.weighted else []
+    totcols2 = [F.col("tot").alias("tot2")] if cfg.weighted else []
+    d1 = eligible.select(
+        F.col("src").alias("node1"), F.col("deg").alias("deg1"), *totcols1
+    )
+    d2 = eligible.select(
+        F.col("src").alias("node2"), F.col("deg").alias("deg2"), *totcols2
+    )
     joined = inter.join(d1, "node1").join(d2, "node2")
     if cfg.metric.upper() == "JACCARD":
-        sim = F.col("inter") / (F.col("deg1") + F.col("deg2") - F.col("inter")).cast(
-            "double"
-        )
+        if cfg.weighted:
+            sim = F.col("inter_min") / (
+                F.col("tot1") + F.col("tot2") - F.col("inter_min")
+            )
+        else:
+            sim = F.col("inter") / (
+                F.col("deg1") + F.col("deg2") - F.col("inter")
+            ).cast("double")
     elif cfg.metric.upper() == "OVERLAP":
-        sim = F.col("inter") / F.least("deg1", "deg2").cast("double")
+        if cfg.weighted:
+            sim = F.col("inter_min") / F.least("tot1", "tot2")
+        else:
+            sim = F.col("inter") / F.least("deg1", "deg2").cast("double")
     else:
         raise ValueError(f"unknown metric {cfg.metric!r}")
     w = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))

@@ -233,6 +233,37 @@ def test_node_similarity(spark, catalog):
     assert got[(0, 2)] == pytest.approx(1 / 3, abs=1e-6)
 
 
+def test_node_similarity_weighted_jaccard_overlap(spark, catalog):
+    """weightedJaccard parity (NodeSimilarity.java:324-363):
+    1 -> {10: 2, 11: 1} (tot 3), 2 -> {10: 1, 11: 3, 12: 1} (tot 5):
+    sum(min) = 1 + 1 = 2, jaccard = 2/(3+5-2) = 1/3,
+    overlap = 2/min(3,5) = 2/3. Parallel edges aggregate by sum."""
+    from graph_data_science_spark.algorithms.similarity import (
+        NodeSimilarityConfig,
+        node_similarity,
+    )
+    from tests.conftest import edge_df
+
+    pairs = [(1, 10), (1, 10), (1, 11), (2, 10), (2, 11), (2, 12)]
+    weights = [1.0, 1.0, 1.0, 1.0, 3.0, 1.0]
+    g = catalog.create("nsim_w", edge_df(spark, pairs, weights))
+    jac = {
+        (r["node1"], r["node2"]): r["similarity"]
+        for r in node_similarity(
+            spark, g, NodeSimilarityConfig(weighted=True)
+        ).collect()
+    }
+    assert jac[(1, 2)] == pytest.approx(1 / 3, abs=1e-6)
+    assert jac[(2, 1)] == pytest.approx(1 / 3, abs=1e-6)
+    ovl = {
+        (r["node1"], r["node2"]): r["similarity"]
+        for r in node_similarity(
+            spark, g, NodeSimilarityConfig(weighted=True, metric="OVERLAP")
+        ).collect()
+    }
+    assert ovl[(1, 2)] == pytest.approx(2 / 3, abs=1e-6)
+
+
 def test_node_similarity_hub_salting_exact(spark, catalog):
     """The 2-D salted hub path must produce exactly the plain join's
     results — hub_threshold=0 (plain) vs threshold=1 + small salt
