@@ -496,6 +496,22 @@ def _q_wcc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state
 
 
+def _q_wcc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental WCC with seedProperty (Wcc.java:109-142): user
+    vertices carry seed -(id) - 1000000 (distinct, below every vertex
+    id, SQL-derivable), tools are unseeded — the final component is
+    the minimum over seeds and ids in the component, the same
+    min-fixpoint as the unseeded case. Value-exact."""
+    g = _user_tool_graph(spark, sf_dir)
+    nodes = g.vertices().select(
+        "id",
+        F.when(F.col("id") >= 0, -F.col("id") - F.lit(1_000_000)).alias("seed"),
+    )
+    seeded = Graph(name="ut_seeded", edges=g.edges, nodes=nodes)
+    res = wcc(spark, seeded, WccConfig(seed_column="seed"))
+    return res.state.select("id", "component")
+
+
 def _q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted label propagation (ComputeStepConsumer.java:44-58:
     votes weighted by relationship weight) on the count-weighted
@@ -896,13 +912,18 @@ LEFT JOIN (
 
 
 def _min_label_ctes(
-    nodes_cte: str, edges_cte: str, rounds: int, prefix: str = "lab"
+    nodes_cte: str, edges_cte: str, rounds: int, prefix: str = "lab",
+    init_expr: str = "id",
 ) -> str:
     """Chained min-label CTEs with a label-of-label (pointer jumping)
     shortcut per round: {prefix}{rounds} holds (id, lbl) at the
     connected-components fixpoint provided the label graph collapses
-    within `rounds` doubling rounds (distance ~2^rounds)."""
-    out = [f"{prefix}0 AS MATERIALIZED (SELECT id, id AS lbl FROM {nodes_cte})"]
+    within `rounds` doubling rounds (distance ~2^rounds). `init_expr`
+    overrides the singleton init — the seeded-WCC case
+    (Wcc.java:109-142 seedProperty)."""
+    out = [
+        f"{prefix}0 AS MATERIALIZED (SELECT id, {init_expr} AS lbl FROM {nodes_cte})"
+    ]
     for k in range(1, rounds + 1):
         out.append(
             f"{prefix}{k}p AS MATERIALIZED (SELECT n.id, LEAST(n.lbl, COALESCE(m.ml, n.lbl)) AS lbl "
@@ -2190,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphsage": _q_graphsage,
         "wcc_full": _q_wcc_full,
         "wcc_threshold": _q_wcc_threshold,
+        "wcc_seeded": _q_wcc_seeded,
         "triangle_global": _q_triangle_global,
         "scale_stdscore": _q_scale_stdscore,
         "scale_log": _q_scale_log,
@@ -2972,6 +2994,12 @@ SELECT id_a, id_b, cosine FROM (
 ) s WHERE cosine >= 0.4
 """,
         "wcc_full": _wcc_full_sql(),
+        "wcc_seeded": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+{_min_label_ctes("utverts", "utu", WCC_ROUNDS, prefix="sl",
+                 init_expr="(CASE WHEN id >= 0 THEN -id - 1000000 ELSE id END)")}
+SELECT id, lbl AS component FROM sl{WCC_ROUNDS}
+""",
         "wcc_threshold": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},
 wedges AS MATERIALIZED (
