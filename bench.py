@@ -383,6 +383,11 @@ def main() -> None:
             "membw_gb_before": round(bw0, 1),
             "busy_cores_after": round(busy1, 2),
             "membw_gb_after": round(bw1, 1),
+            # one-flag summary: True when either bracket probe sat
+            # below the quiet floor, i.e. a co-tenant burst owned the
+            # DRAM bus and every absolute timing above is inflated —
+            # compare against a run where this is False instead
+            "degraded": bool(bw0 < hl_bw_floor or bw1 < hl_bw_floor),
         },
     }
 
