@@ -35,6 +35,19 @@ def test_wcc_threshold(spark, catalog):
     assert got == {0: 0, 1: 0, 2: 2, 3: 2}
 
 
+def test_wcc_threshold_keeps_filtered_vertices(spark, catalog):
+    # every node keeps a component even when ALL its edges fail the
+    # threshold (Wcc.java filters unions, not nodes): 4-5's only edge
+    # is dropped, both must come back as singletons
+    edges = edge_df(spark, [(0, 1), (4, 5)], weights=[1.0, 0.1])
+    g = catalog.create("wcct_iso", edges)
+    got = {
+        r["id"]: r["component"]
+        for r in wcc(spark, g, WccConfig(threshold=0.5)).state.collect()
+    }
+    assert got == {0: 0, 1: 0, 4: 4, 5: 5}
+
+
 def test_wcc_seeded(spark, catalog):
     # Wcc.java:109-142 — seeds pre-merge components; min seed wins
     nodes = spark.createDataFrame(
