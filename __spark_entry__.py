@@ -156,22 +156,37 @@ def _pagerank_sql(
     )
 
 
-def _eigenvector_sql(iters: int) -> str:
+def _eigenvector_sql(
+    iters: int,
+    edges: str = "edges",
+    verts: str = "verts",
+    deg: str | None = None,
+    weight_col: str | None = None,
+    extra_ctes: list[str] | None = None,
+) -> str:
     """Unrolled (A+I)-style GDS eigenvector iteration: messages carry
     the UNnormalized next-vector, next' = rank + sum(messages), rank'
-    = next' / ||next'|| (EigenvectorComputation.java:92-161)."""
+    = next' / ||next'|| (EigenvectorComputation.java:92-161). The
+    weighted variant (`deg` = weighted-degree CTE + `weight_col`)
+    sends nxt / weightedDegree * w instead of raw nxt."""
     ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.extend(extra_ctes or [])
     ctes.append(
-        "n0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM verts) AS nxt FROM verts)"
+        f"n0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM {verts}) AS nxt FROM {verts})"
     )
     ctes.append(
         "r0 AS MATERIALIZED (SELECT id, nxt / (SELECT SQRT(SUM(nxt * nxt)) FROM n0) AS rank, nxt FROM n0)"
     )
+    msg = "p.nxt"
+    dj = ""
+    if weight_col:
+        msg = f"p.nxt / d.degree * e.{weight_col}"
+        dj = f" JOIN {deg} d ON d.id = e.src"
     for k in range(1, iters + 1):
         ctes.append(
             f"n{k} AS MATERIALIZED (SELECT r.id, r.rank + COALESCE(s.c, 0.0) AS nxt "
-            f"FROM r{k - 1} r LEFT JOIN (SELECT e.dst AS id, SUM(p.nxt) AS c "
-            f"FROM edges e JOIN r{k - 1} p ON p.id = e.src GROUP BY e.dst) s "
+            f"FROM r{k - 1} r LEFT JOIN (SELECT e.dst AS id, SUM({msg}) AS c "
+            f"FROM {edges} e JOIN r{k - 1} p ON p.id = e.src{dj} GROUP BY e.dst) s "
             f"ON s.id = r.id)"
         )
         ctes.append(
@@ -415,6 +430,30 @@ def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         g,
         PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1, weighted=True),
+    )
+    return res.state.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_eigenvector_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted eigenvector (EigenvectorComputation.java:92-161 with
+    applyRelationshipWeight: message = next / weightedDegree * w) on
+    the count-weighted user->tool graph — value-exact unrolled SQL."""
+    from graph_data_science_spark.algorithms.pagerank import eigenvector
+
+    events = ev.load_table(spark, sf_dir, "events")
+    edges = (
+        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
+        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .withColumn("rel_type", F.lit("USES"))
+    )
+    g = Graph(name="ut_weighted_eig", edges=edges)
+    res = eigenvector(
+        spark,
+        g,
+        PageRankConfig(
+            tolerance=0.0, max_iterations=EIG_ITERS + 1, weighted=True
+        ),
     )
     return res.state.select("id", F.round("score", 6).alias("score"))
 
@@ -2153,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_turns": _q_pagerank_turns,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
+        "eigenvector_weighted": _q_eigenvector_weighted,
         "degree_centrality": _q_degree,
         "degree_weighted": _q_degree_weighted,
         "local_clustering_coefficient": _q_lcc,
@@ -2284,6 +2324,22 @@ LEFT JOIN (
 """,
         "article_rank": _pagerank_sql(PR_ITERS, avg_deg_term=True),
         "eigenvector": _eigenvector_sql(EIG_ITERS),
+        "eigenvector_weighted": _eigenvector_sql(
+            EIG_ITERS,
+            edges="wedges",
+            verts="wverts",
+            deg="wdeg",
+            weight_col="w",
+            extra_ctes=[
+                "wedges AS MATERIALIZED (SELECT e.user_id AS src, tl.tool_vid AS dst, "
+                "CAST(COUNT(*) AS DOUBLE) AS w FROM events e JOIN tools tl "
+                "USING (event_type) GROUP BY 1, 2)",
+                "wverts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+                "SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges) u)",
+                "wdeg AS MATERIALIZED (SELECT src AS id, SUM(w) AS degree "
+                "FROM wedges GROUP BY src)",
+            ],
+        ),
         "wcc_reply": f"""
 WITH {pre}
 SELECT vid AS id, user_id * 1000000 AS component

@@ -173,7 +173,12 @@ class _EigenvectorComputation(PregelComputation):
         return st.withColumn("rank", F.col("next") / F.lit(float(norm)))
 
     def send(self, active: DataFrame, edges: DataFrame, iteration: int) -> DataFrame:
-        share = active.select("id", (F.col("next") / F.col("denom")).alias("_share"))
+        # denom = 0 vertices have no out-edges — they send nothing,
+        # and the filter also keeps ANSI mode from tripping on the
+        # (otherwise join-discarded) division by zero
+        share = active.where(F.col("denom") > 0).select(
+            "id", (F.col("next") / F.col("denom")).alias("_share")
+        )
         joined = share.join(edges, share.id == edges.src)
         msg = (F.col("_share") * F.col("weight")) if self.cfg.weighted else F.col("_share")
         return joined.select(F.col("dst"), msg.alias("msg"))
