@@ -1434,6 +1434,30 @@ def _q_engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The .write sink (NativeNodePropertyExporter analog targeting a
+    table path): write degree centrality through the facade, read the
+    table back — value-exact against the SQL degree formula."""
+    import shutil
+    import tempfile
+
+    from graph_data_science_spark.engine import GdsEngine
+
+    g = _user_tool_graph(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="gds_write_")
+    try:
+        meta = GdsEngine(spark).degree_centrality(g).write(workdir, fmt="parquet")
+        back = (
+            spark.read.parquet(workdir)
+            .select("id", "score")
+            .localCheckpoint(eager=True)  # outlive workdir cleanup
+        )
+        assert meta["rows"] == back.count()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return back
+
+
 def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV graph export -> import round-trip
     (CsvGraphStoreExporter / CsvGraphStoreImporter.java:60 analog):
@@ -2259,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_center": _q_scale_center,
         "graph_density": _q_graph_density,
         "csv_roundtrip": _q_csv_roundtrip,
+        "engine_write": _q_engine_write,
         "generator": _q_generator,
         "engine_stats": _q_engine_stats,
         "split_relationships": _q_split_relationships,
@@ -2787,6 +2812,13 @@ SELECT ROUND(
   CAST((SELECT COUNT(*) FROM ut) AS DOUBLE)
   / ((SELECT COUNT(*) FROM utverts) * ((SELECT COUNT(*) FROM utverts) - 1)),
   12) AS density
+""",
+        "engine_write": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT v.id, COALESCE(d.c, 0.0) AS score
+FROM utverts v LEFT JOIN (
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS c FROM ut GROUP BY src
+) d ON d.id = v.id
 """,
         "generator": f"""
 SELECT CAST({GEN_N * GEN_AVG} AS BIGINT) AS n_edges,
