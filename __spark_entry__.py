@@ -1434,6 +1434,49 @@ def _q_engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization end-to-end: the events
+    table read as a file STREAM, session_window aggregation with a
+    zero-delay watermark, availableNow trigger into a memory sink.
+    Append mode emits exactly the sessions the final watermark
+    (= global max event time) has closed — last_ts + gap <= max_ts —
+    which the batch SQL oracle reproduces with the same gap split and
+    emission filter."""
+    import uuid
+
+    from graph_data_science_spark.streaming.streams import (
+        streaming_session_stats,
+    )
+
+    schema = ev.load_table(spark, sf_dir, "events").schema
+    # the events table is a single parquet FILE; the file stream
+    # source needs a directory, so glob-filter the sf dir down to it
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    out = streaming_session_stats(stream, watermark="0 seconds")
+    qname = f"strsess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname).localCheckpoint(eager=True)
+    return got.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        "n_events",
+        "duration_sec",
+        "total_value",
+    )
+
+
 def _q_engine_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The .write sink (NativeNodePropertyExporter analog targeting a
     table path): write degree centrality through the facade, read the
@@ -2284,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_density": _q_graph_density,
         "csv_roundtrip": _q_csv_roundtrip,
         "engine_write": _q_engine_write,
+        "streaming_session_stats": _q_streaming_session_stats,
         "generator": _q_generator,
         "engine_stats": _q_engine_stats,
         "split_relationships": _q_split_relationships,
@@ -2812,6 +2856,30 @@ SELECT ROUND(
   CAST((SELECT COUNT(*) FROM ut) AS DOUBLE)
   / ((SELECT COUNT(*) FROM utverts) * ((SELECT COUNT(*) FROM utverts) - 1)),
   12) AS density
+""",
+        "streaming_session_stats": """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) < 1800000000
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM s
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events,
+       ROUND(date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0, 6) AS duration_sec,
+       ROUND(SUM(value), 6) AS total_value
+FROM s2
+GROUP BY user_id, session_idx
+HAVING MAX(ts) + INTERVAL 1800 SECOND <= (SELECT MAX(ts) FROM events)
 """,
         "engine_write": f"""
 WITH {USER_TOOL_PRELUDE.strip()}
