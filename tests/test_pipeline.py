@@ -289,6 +289,31 @@ def test_node_similarity_hub_salting_exact(spark, catalog):
     assert p == s and len(p) > 0
 
 
+def test_node_similarity_weighted_hub_salting_exact(spark, catalog):
+    """Weights must survive the 2-D salted hub path unchanged."""
+    from graph_data_science_spark.algorithms.similarity import (
+        NodeSimilarityConfig,
+        node_similarity,
+    )
+    from tests.conftest import edge_df
+
+    pairs = [(i, 99) for i in range(12)] + [(0, 10), (1, 10), (2, 11), (3, 11)]
+    weights = [float(1 + (i % 3)) for i in range(12)] + [2.0, 1.0, 3.0, 1.0]
+    g = catalog.create("nsim_whub", edge_df(spark, pairs, weights))
+    plain = node_similarity(
+        spark, g, NodeSimilarityConfig(top_k=20, hub_threshold=0, weighted=True)
+    )
+    salted = node_similarity(
+        spark,
+        g,
+        NodeSimilarityConfig(top_k=20, hub_threshold=1, hub_salt=3, weighted=True),
+    )
+    key = lambda r: (r["node1"], r["node2"])  # noqa: E731
+    p = {key(r): (r["similarity"], r["rank"]) for r in plain.collect()}
+    s = {key(r): (r["similarity"], r["rank"]) for r in salted.collect()}
+    assert p == s and len(p) > 0
+
+
 def test_dedup_clusters(spark):
     from graph_data_science_spark.pipeline.dedup import dedup_clusters
 
