@@ -482,6 +482,18 @@ def main() -> None:
                 for c, rs in runs.items()
             },
             "quiet_membw_floor_gb": bw_floor,
+            # True when ANY level run started below the quiet floor —
+            # the interleaved-reps design degrades all levels alike,
+            # but absolute edges/sec are then co-tenant-inflated and
+            # efficiency numbers should be read with the machine
+            # ceilings measured alongside
+            "degraded": bool(
+                any(
+                    r["membw_gb_before"] < bw_floor
+                    for rs in runs.values()
+                    for r in rs
+                )
+            ),
             "machine": machine,
             "pairs": pairs,
             # headline fields = the primary N->4N pair
