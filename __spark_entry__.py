@@ -1477,6 +1477,47 @@ def _q_streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_edge_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window edge rates: the events stream mapped
+    to invocation edges (rel_type = event_type), 10-minute windows,
+    zero-delay watermark, availableNow into a memory sink. Append
+    mode emits exactly the windows the final watermark closed
+    (window_end <= max ts) — mirrored in SQL via epoch-aligned
+    time_bucket."""
+    import uuid
+
+    from graph_data_science_spark.streaming.streams import streaming_edge_counts
+
+    schema = ev.load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    edges = stream.select(
+        F.col("user_id").alias("src"),
+        F.col("event_type").alias("rel_type"),
+        "ts",
+    )
+    out = streaming_edge_counts(edges, window="10 minutes", watermark="0 seconds")
+    qname = f"stredge_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname).localCheckpoint(eager=True)
+    return got.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "rel_type",
+        "n_edges",
+    )
+
+
 def _q_engine_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The .write sink (NativeNodePropertyExporter analog targeting a
     table path): write degree centrality through the facade, read the
@@ -2328,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "engine_write": _q_engine_write,
         "streaming_session_stats": _q_streaming_session_stats,
+        "streaming_edge_rates": _q_streaming_edge_rates,
         "generator": _q_generator,
         "engine_stats": _q_engine_stats,
         "split_relationships": _q_split_relationships,
@@ -2880,6 +2922,19 @@ SELECT user_id,
 FROM s2
 GROUP BY user_id, session_idx
 HAVING MAX(ts) + INTERVAL 1800 SECOND <= (SELECT MAX(ts) FROM events)
+""",
+        "streaming_edge_rates": """
+WITH b AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts, TIMESTAMP '1970-01-01') AS w,
+         event_type
+  FROM events
+)
+SELECT epoch_us(w) AS window_start_us,
+       event_type AS rel_type,
+       COUNT(*) AS n_edges
+FROM b
+GROUP BY w, event_type
+HAVING w + INTERVAL 10 MINUTE <= (SELECT MAX(ts) FROM events)
 """,
         "engine_write": f"""
 WITH {USER_TOOL_PRELUDE.strip()}
