@@ -51,14 +51,23 @@ def node_similarity(
 ) -> DataFrame:
     """(node1, node2, similarity, rank) — top-K similar per node."""
     cfg = config or NodeSimilarityConfig()
+    # the deduped neighbor table is read 4x (degree agg, hub agg,
+    # pair join both sides) — persist it once on the graph handle
+    # (the CSR-build analog, shared across runs on the same graph)
     if cfg.weighted:
-        edges = (
-            graph.view(weight_property=True)
+        edges = graph.cached(
+            ("nodesim_edges", True),
+            lambda: graph.view(weight_property=True)
             .groupBy("src", "dst")
-            .agg(F.sum("weight").alias("_w"))
+            .agg(F.sum("weight").alias("_w")),
         )
     else:
-        edges = graph.view().select("src", "dst").dropDuplicates(["src", "dst"])
+        edges = graph.cached(
+            ("nodesim_edges", False),
+            lambda: graph.view()
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"]),
+        )
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg"),
         *([F.sum("_w").alias("tot")] if cfg.weighted else []),
