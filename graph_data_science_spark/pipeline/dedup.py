@@ -196,6 +196,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the band table rides on the expensive shingle+minhash pass and
+    # feeds BOTH self-join sides (plus the bucket-size filter): pin it
+    # once instead of recomputing the signatures per subplan. Small —
+    # `bands` rows per doc; lineage-truncated so the returned plan
+    # stays O(1)
+    band_rows = band_rows.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = band_rows.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
         band_rows = band_rows.join(
