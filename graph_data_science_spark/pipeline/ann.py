@@ -267,12 +267,21 @@ def lsh_topk(
     query side)."""
     import itertools
 
+    # pin the corpus signature table — it IS the LSH index (built
+    # once over the corpus, reused by every probe; at scale this is
+    # the n_tables x n_corpus row artifact you'd materialize anyway),
+    # and without pinning the per-vector hyperplane dot products
+    # recompute for every subplan that touches it
     csig = _table_signatures(
         corpus, dim, n_planes, n_tables, seed, id_col, vec_col, method, "neighbor_id"
-    )
-    qsig = _table_signatures(
-        queries, dim, n_planes, n_tables, seed, id_col, vec_col, method, "query_id"
-    )
+    ).localCheckpoint(eager=True)
+    if queries is corpus:
+        # self-join case: the query signatures are the same index
+        qsig = csig.withColumnRenamed("neighbor_id", "query_id")
+    else:
+        qsig = _table_signatures(
+            queries, dim, n_planes, n_tables, seed, id_col, vec_col, method, "query_id"
+        )
     if probe_hamming > 0:
         masks = [0]
         for h in range(1, probe_hamming + 1):
