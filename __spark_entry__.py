@@ -418,14 +418,7 @@ def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRankAlgorithmFactory.java:137-157) on the count-weighted
     user->tool invocation graph — value-exact against the unrolled
     weighted SQL fixpoint."""
-    events = ev.load_table(spark, sf_dir, "events")
-    edges = (
-        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
-        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-        .withColumn("rel_type", F.lit("USES"))
-    )
-    g = Graph(name="ut_weighted", edges=edges)
+    g = _user_tool_weighted_graph(spark, sf_dir)
     res = pagerank(
         spark,
         g,
@@ -440,14 +433,7 @@ def _q_eigenvector_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count-weighted user->tool graph — value-exact unrolled SQL."""
     from graph_data_science_spark.algorithms.pagerank import eigenvector
 
-    events = ev.load_table(spark, sf_dir, "events")
-    edges = (
-        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
-        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-        .withColumn("rel_type", F.lit("USES"))
-    )
-    g = Graph(name="ut_weighted_eig", edges=edges)
+    g = _user_tool_weighted_graph(spark, sf_dir)
     res = eigenvector(
         spark,
         g,
@@ -555,13 +541,7 @@ def _q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     """Weighted label propagation (ComputeStepConsumer.java:44-58:
     votes weighted by relationship weight) on the count-weighted
     user->tool graph, Jacobi blocks=1 — value-exact unrolled SQL."""
-    events = ev.load_table(spark, sf_dir, "events")
-    edges = (
-        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
-        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-        .withColumn("rel_type", F.lit("USES"))
-    )
+    edges = _user_tool_weighted_graph(spark, sf_dir).edges
     und = edges.unionByName(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"),
@@ -582,14 +562,7 @@ def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     union only edges with weight > threshold; every node keeps a
     component — filtered-out vertices become singletons) on the
     count-weighted user->tool graph — value-exact min-label SQL."""
-    events = ev.load_table(spark, sf_dir, "events")
-    edges = (
-        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
-        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-        .withColumn("rel_type", F.lit("USES"))
-    )
-    g = Graph(name="ut_weighted_wcc", edges=edges)
+    g = _user_tool_weighted_graph(spark, sf_dir)
     res = wcc(spark, g, WccConfig(threshold=1.5))
     return res.state.select("id", F.col("component"))
 
@@ -611,14 +584,7 @@ def _q_degree_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted REVERSE degree (DegreeCentrality.java:79-160:
     orientation REVERSE = in-degree, weighted = sum of positive
     weights) on the count-weighted user->tool graph — value-exact."""
-    events = ev.load_table(spark, sf_dir, "events")
-    edges = (
-        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
-        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-        .withColumn("rel_type", F.lit("USES"))
-    )
-    g = Graph(name="ut_weighted_deg", edges=edges)
+    g = _user_tool_weighted_graph(spark, sf_dir)
     return degree_centrality(spark, g, orientation="REVERSE", weighted=True)
 
 
@@ -661,14 +627,7 @@ def _q_node_similarity_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NodeSimilarity.java:324-363 weightedJaccard: sum-of-min over
     the intersection divided by total1 + total2 - sum-of-min) on the
     count-weighted user->tool graph — value-exact."""
-    events = ev.load_table(spark, sf_dir, "events")
-    edges = (
-        events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
-        .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-        .withColumn("rel_type", F.lit("USES"))
-    )
-    g = Graph(name="ut_weighted_sim", edges=edges)
+    g = _user_tool_weighted_graph(spark, sf_dir)
     return node_similarity(spark, g, NodeSimilarityConfig(weighted=True))
 
 
@@ -1128,6 +1087,25 @@ def _user_tool_graph(spark: SparkSession, sf_dir: str) -> Graph:
             name="user_tools",
             edges=ev.user_tool_edges(ev.load_table(spark, sf_dir, "events")),
         )
+        _GRAPH_CACHE[key] = g.persist()
+    return _GRAPH_CACHE[key]
+
+
+def _user_tool_weighted_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Count-weighted user->tool invocation graph, persisted once per
+    (session, sf) — six weighted-variant queries share it, and each
+    query's own plan touches the edge table several times (degrees,
+    vertex union, join sides)."""
+    key = (id(spark), sf_dir, "user_tools_weighted")
+    if key not in _GRAPH_CACHE:
+        events = ev.load_table(spark, sf_dir, "events")
+        edges = (
+            events.join(F.broadcast(ev.tool_vertices(events)), "event_type")
+            .groupBy(F.col("user_id").alias("src"), F.col("tool_vid").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+            .withColumn("rel_type", F.lit("USES"))
+        )
+        g = Graph(name="user_tools_weighted", edges=edges)
         _GRAPH_CACHE[key] = g.persist()
     return _GRAPH_CACHE[key]
 
