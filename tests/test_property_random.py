@@ -197,6 +197,87 @@ def test_scc_matches_tarjan(spark, pairs):
 
 @given(pairs=simple_edges)
 @settings(**_SETTINGS)
+def test_betweenness_matches_brandes(spark, pairs):
+    from graph_data_science_spark.algorithms.betweenness import betweenness
+
+    adj = defaultdict(list)
+    verts = set()
+    for s, d in pairs:
+        adj[s].append(d)
+        verts.update((s, d))
+
+    # Brandes 2001, directed unweighted, no endpoints
+    bc = {v: 0.0 for v in verts}
+    for s in verts:
+        order = []
+        preds = defaultdict(list)
+        sigma = defaultdict(float)
+        dist = {s: 0}
+        sigma[s] = 1.0
+        queue = [s]
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+
+    g = _fresh(spark, pairs)
+    got = {r["id"]: r["score"] for r in betweenness(spark, g).collect()}
+    assert set(got) == verts
+    for v in verts:
+        assert math.isclose(got[v], bc[v], rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(pairs=simple_edges)
+@settings(**_SETTINGS)
+def test_harmonic_matches_bfs_oracle(spark, pairs):
+    from graph_data_science_spark.algorithms.msbfs import harmonic_centrality
+
+    # bfs_distances traverses UNDIRECTED by default (the reference's
+    # closeness/harmonic contract) — mirror that in the oracle
+    adj = defaultdict(set)
+    verts = set()
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+        verts.update((s, d))
+    n = len(verts)
+
+    inv = {v: 0.0 for v in verts}
+    for s in verts:
+        dist = {s: 0}
+        queue = [s]
+        while queue:
+            v = queue.pop(0)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+        for v, dv in dist.items():
+            if dv > 0:
+                inv[v] += 1.0 / dv
+    expected = {v: x / (n - 1) for v, x in inv.items()} if n > 1 else {v: 0.0 for v in verts}
+
+    g = _fresh(spark, pairs)
+    got = {r["id"]: r["centrality"] for r in harmonic_centrality(spark, g).collect()}
+    assert set(got) == verts
+    for v in verts:
+        assert math.isclose(got[v], expected[v], rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(pairs=simple_edges)
+@settings(**_SETTINGS)
 def test_pagerank_matches_numpy_delta_iteration(spark, pairs):
     # reference delta formulation (PageRankComputation.java:65-103),
     # tolerance 0 so every vertex sends each superstep; K configured
