@@ -1704,6 +1704,102 @@ def _q_celf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_greedy_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy influence maximization (gds.alpha.influenceMaximization
+    .greedy, Greedy.java analog). Invariant oracle: over identical
+    hash-seeded Monte-Carlo worlds plain greedy picks the SAME seed
+    sequence as CELF (CELF is an exact lazy evaluation of the same
+    argmax — Leskovec et al. 2007), plus the structural facts."""
+    from graph_data_science_spark.algorithms.celf import celf, greedy
+
+    g = _user_tool_graph(spark, sf_dir)
+    kw = dict(
+        k=CELF_K, propagation_probability=0.2, monte_carlo_sims=3,
+        candidate_sample=60,
+    )
+    gres = greedy(spark, g, **kw)
+    cres = celf(spark, g, **kw)
+    same = [v for v, _ in gres] == [v for v, _ in cres] and all(
+        abs(a - b) < 1e-6 for (_, a), (_, b) in zip(gres, cres)
+    )
+    spreads = [s for _, s in gres]
+    return spark.createDataFrame(
+        [(
+            len(gres),
+            bool(same),
+            bool(all(a <= b + 1e-9 for a, b in zip(spreads, spreads[1:]))),
+        )],
+        "n_seeds int, matches_celf boolean, spread_monotone boolean",
+    )
+
+
+def _q_max_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum spanning forest (gds.alpha.spanningTree.maximum, Prim
+    MAX_OPERATOR = negated weights, Prim.java:50) on the
+    count-weighted user->tool graph. Oracle: |forest| = |V| -
+    #components (min-label unroll, SQL-exact), every forest edge a
+    graph edge, total weight inside SQL-derivable bounds (any m-edge
+    subset weighs at least the m smallest and at most the m largest
+    canonical edge weights), and >= the engine's own MIN forest."""
+    from graph_data_science_spark.algorithms.spanning import (
+        maximum_spanning_forest,
+        minimum_spanning_forest,
+    )
+
+    g = _user_tool_weighted_graph(spark, sf_dir)
+    fmax = maximum_spanning_forest(spark, g).persist()
+    fmin = minimum_spanning_forest(spark, g)
+    canon = (
+        g.view(weight_property=True)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+        .persist()
+    )
+    n_edges, w_max = fmax.agg(
+        F.count(F.lit(1)), F.sum("weight")
+    ).collect()[0]
+    w_min = fmin.agg(F.sum("weight")).collect()[0][0] or 0.0
+    n_non_edges = fmax.select("src", "dst").join(
+        canon.select("src", "dst"), ["src", "dst"], "left_anti"
+    ).count()
+    m = int(n_edges)
+    ub = canon.orderBy(F.desc("weight")).limit(m).agg(F.sum("weight")).collect()[0][0] or 0.0
+    lb = canon.orderBy(F.asc("weight")).limit(m).agg(F.sum("weight")).collect()[0][0] or 0.0
+    fmax.unpersist()
+    canon.unpersist()
+    return spark.createDataFrame(
+        [(
+            int(n_edges),
+            int(n_non_edges),
+            bool(lb - 1e-6 <= (w_max or 0.0) <= ub + 1e-6),
+            bool((w_max or 0.0) >= w_min - 1e-6),
+        )],
+        "n_edges bigint, n_non_edges bigint, weight_in_bounds boolean, "
+        "max_ge_min boolean",
+    )
+
+
+def _q_kspanning_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmax k-spanning tree (KSpanningTreeProc.java kmax: MAX forest,
+    cut the k-1 LIGHTEST tree edges). Oracle: partition covers every
+    vertex and yields exactly (#components + k - 1) trees — both
+    facts derivable by the oracle's min-label unroll."""
+    from graph_data_science_spark.algorithms.spanning import k_spanning_tree
+
+    g = _user_tool_weighted_graph(spark, sf_dir)
+    part = k_spanning_tree(spark, g, k=KSPAN_K, objective="maximum")
+    return part.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("component").alias("n_components"),
+    )
+
+
 MAXKCUT_K = 4
 
 
@@ -2318,6 +2414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "astar": _q_astar,
         "dfs": _q_dfs,
         "kspanning": _q_kspanning,
+        "kspanning_max": _q_kspanning_max,
+        "max_spanning_forest": _q_max_spanning_forest,
+        "greedy_influence": _q_greedy_influence,
         "knn_props": _q_knn_props,
         "louvain": _q_louvain,
         "modularity_optimization": _q_modularity_optimization,
@@ -3330,6 +3429,29 @@ agg AS (SELECT COUNT(*) AS nv, COUNT(DISTINCT lbl) AS nc FROM lab{WCC_ROUNDS})
 SELECT nv AS n_rows,
        CAST(nc + {KSPAN_K} - 1 AS BIGINT) AS n_components
 FROM agg
+""",
+        "kspanning_max": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+{_min_label_ctes("utverts", "utu", WCC_ROUNDS)},
+agg AS (SELECT COUNT(*) AS nv, COUNT(DISTINCT lbl) AS nc FROM lab{WCC_ROUNDS})
+SELECT nv AS n_rows,
+       CAST(nc + {KSPAN_K} - 1 AS BIGINT) AS n_components
+FROM agg
+""",
+        "max_spanning_forest": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+{_min_label_ctes("utverts", "utu", WCC_ROUNDS)},
+agg AS (SELECT COUNT(*) AS nv, COUNT(DISTINCT lbl) AS nc FROM lab{WCC_ROUNDS})
+SELECT CAST(nv - nc AS BIGINT) AS n_edges,
+       CAST(0 AS BIGINT) AS n_non_edges,
+       TRUE AS weight_in_bounds,
+       TRUE AS max_ge_min
+FROM agg
+""",
+        "greedy_influence": f"""
+SELECT CAST({CELF_K} AS INTEGER) AS n_seeds,
+       TRUE AS matches_celf,
+       TRUE AS spread_monotone
 """,
         "knn_props": """
 SELECT TRUE AS all_nodes_covered,

@@ -141,3 +141,73 @@ def celf(
 
     live.unpersist()
     return seeds
+
+
+def greedy(
+    spark: SparkSession,
+    graph: Graph,
+    k: int = 5,
+    propagation_probability: float = 0.1,
+    monte_carlo_sims: int = 10,
+    seed: int = 42,
+    candidate_sample: int | None = 1_000,
+) -> list[tuple[int, float]]:
+    """gds.alpha.influenceMaximization.greedy analog — plain greedy
+    without the CELF lazy queue (reference: alpha/alpha-algo/src/main/
+    java/org/neo4j/gds/impl/influenceMaximization/Greedy.java:
+    re-evaluate spread(S ∪ {v}) for EVERY remaining candidate each
+    round and take the argmax).
+
+    Spark realization: each round is ONE batched MSBFS over all
+    (world, candidate) pairs — frontier row (sim, source=v, id) for
+    id ∈ S ∪ {v} — so the per-round cost matches CELF's first round,
+    not |V| sequential cascades. Over identical Monte-Carlo worlds
+    this picks the same seed set as :func:`celf` (CELF is an exact
+    lazy-evaluation of the same argmax); the smaller default
+    ``candidate_sample`` reflects the O(k·candidates) re-evaluation.
+    """
+    edges = graph.view().select("src", "dst").dropDuplicates(["src", "dst"])
+    live = _live_edges(edges, propagation_probability, monte_carlo_sims, seed).persist()
+    verts = graph.vertices()
+
+    cands = verts
+    n = verts.count()
+    if candidate_sample is not None and n > candidate_sample:
+        print(
+            f"greedy: restricting candidates to top {candidate_sample} of {n} by degree"
+        )
+        deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("_d"))
+        cands = (
+            verts.join(deg, "id", "left")
+            .fillna({"_d": 0})
+            .orderBy(F.desc("_d"), F.asc("id"))
+            .limit(candidate_sample)
+            .select("id")
+        )
+    cand_ids = [int(r["id"]) for r in cands.collect()]
+
+    worlds = spark.range(monte_carlo_sims).select(F.col("id").cast("int").alias("sim"))
+    seeds: list[tuple[int, float]] = []
+    seed_rows: list[int] = []
+    spread_s = 0.0
+
+    while len(seeds) < k and len(seed_rows) < len(cand_ids):
+        remaining = [v for v in cand_ids if v not in seed_rows]
+        # frontier: for every candidate v, the set S ∪ {v} in every world
+        rows = [(v, m) for v in remaining for m in seed_rows + [v]]
+        f = (
+            spark.createDataFrame(rows, "source long, id long")
+            .crossJoin(worlds)
+            .select("sim", "source", "id")
+        )
+        reach = _reach_counts(live, f)
+        best = reach.orderBy(F.desc("reach"), F.asc("source")).first()
+        if best is None:
+            break
+        v, total = int(best["source"]), best["reach"] / monte_carlo_sims
+        seed_rows.append(v)
+        spread_s = total
+        seeds.append((v, round(spread_s, 6)))
+
+    live.unpersist()
+    return seeds

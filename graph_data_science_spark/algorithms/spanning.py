@@ -1,4 +1,4 @@
-"""Minimum spanning forest — distributed Borůvka.
+"""Minimum/maximum spanning forest — distributed Borůvka.
 
 The reference uses sequential Prim from a root
 (/root/reference/alpha/alpha-algo/src/main/java/org/neo4j/gds/impl/
@@ -23,12 +23,24 @@ from graph_data_science_spark import projection
 from graph_data_science_spark.catalog import Graph
 
 
-def minimum_spanning_forest(
+def spanning_forest(
     spark: SparkSession,
     graph: Graph,
     max_rounds: int = 64,
+    objective: str = "minimum",
 ) -> DataFrame:
-    """Forest edges (src, dst, weight) of the undirected MSF."""
+    """Forest edges (src, dst, weight) of the undirected spanning
+    forest under ``objective`` ("minimum" | "maximum").
+
+    The reference's maximum variant is Prim over negated weights
+    (alpha/alpha-algo/src/main/java/org/neo4j/gds/impl/spanningTrees/
+    Prim.java:50 ``MAX_OPERATOR = (w) -> -w``); here Borůvka picks
+    each component's heaviest outgoing edge instead of its lightest —
+    identical tree by the same negation argument, deterministic
+    tie-break (weight, src, dst) either way."""
+    if objective not in ("minimum", "maximum"):
+        raise ValueError("objective must be 'minimum' or 'maximum'")
+    maximize = objective == "maximum"
     base = (
         graph.view(weight_property=True)
         .where(F.col("src") != F.col("dst"))
@@ -38,7 +50,9 @@ def minimum_spanning_forest(
             "weight",
         )
         .groupBy("src", "dst")
-        .agg(F.min("weight").alias("weight"))
+        .agg(
+            (F.max("weight") if maximize else F.min("weight")).alias("weight")
+        )
         .persist()
     )
     comp = projection.vertices(base).select(
@@ -60,7 +74,9 @@ def minimum_spanning_forest(
         both = cross.select(F.col("_cs").alias("c"), "src", "dst", "weight").unionByName(
             cross.select(F.col("_cd").alias("c"), "src", "dst", "weight")
         )
-        win = Window.partitionBy("c").orderBy("weight", "src", "dst")
+        win = Window.partitionBy("c").orderBy(
+            F.desc("weight") if maximize else F.asc("weight"), "src", "dst"
+        )
         picked = (
             both.withColumn("_rn", F.row_number().over(win))
             .where(F.col("_rn") == 1)
@@ -117,27 +133,55 @@ def minimum_spanning_forest(
     return forest.localCheckpoint(eager=True)
 
 
+def minimum_spanning_forest(
+    spark: SparkSession,
+    graph: Graph,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """gds.alpha.spanningTree.minimum analog."""
+    return spanning_forest(spark, graph, max_rounds, objective="minimum")
+
+
+def maximum_spanning_forest(
+    spark: SparkSession,
+    graph: Graph,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """gds.alpha.spanningTree.maximum analog (Prim MAX_OPERATOR)."""
+    return spanning_forest(spark, graph, max_rounds, objective="maximum")
+
+
 def k_spanning_tree(
     spark: SparkSession,
     graph: Graph,
     k: int,
     max_rounds: int = 64,
+    objective: str = "minimum",
 ) -> DataFrame:
-    """(id, component) — partition into >= k trees by cutting the
-    k-1 globally heaviest MSF edges.
+    """(id, component) — partition into >= k trees by cutting k-1
+    edges from the spanning forest.
 
     Reference: /root/reference/alpha/alpha-algo/src/main/java/org/
     neo4j/gds/impl/spanningTrees/KSpanningTree.java (Prim tree, then
-    prune the k-1 most expensive edges). On a disconnected graph the
-    cut is applied to the whole forest, yielding (#components + k - 1)
-    trees. Deterministic tie-break (weight desc, src, dst); the cut
-    itself is a distributed top-(k-1) — no global sort materializes.
+    prune k-1 edges) and KSpanningTreeProc.java (kmin/kmax entry
+    points). objective="minimum" (kmin) builds the MIN forest and
+    cuts the k-1 HEAVIEST tree edges; "maximum" (kmax) builds the
+    MAX forest and cuts the k-1 LIGHTEST (KSpanningTree.java:80
+    flips the cut queue against the build operator). On a
+    disconnected graph the cut applies to the whole forest, yielding
+    (#components + k - 1) trees. Deterministic tie-break; the cut is
+    a distributed top-(k-1) — no global sort materializes.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    forest = minimum_spanning_forest(spark, graph, max_rounds).persist()
+    maximize = objective == "maximum"
+    forest = spanning_forest(spark, graph, max_rounds, objective=objective).persist()
     cut = (
-        forest.orderBy(F.desc("weight"), F.asc("src"), F.asc("dst"))
+        forest.orderBy(
+            F.asc("weight") if maximize else F.desc("weight"),
+            F.asc("src"),
+            F.asc("dst"),
+        )
         .limit(k - 1)
         .select("src", "dst")
     )
