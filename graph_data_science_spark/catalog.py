@@ -165,11 +165,19 @@ class Graph:
           joins them against a broadcast of the hub state;
         * ``hub_ids`` — the hub vertex ids (column ``id``).
 
-        ``hub_threshold`` None = auto: max(|E| / n_parts, 256). With
-        the auto threshold at most ``n_parts`` srcs can exceed it
-        (their degrees sum to |E|), so the broadcast hub state is
-        bounded by n_parts rows at ANY graph scale. (hot, hub_ids)
-        are (None, None) when no src qualifies.
+        ``hub_threshold`` None = auto: max(3 |E| / n_parts, 256) — a
+        src must own ~3 partitions' worth of edges before it splits.
+        The multiplier is empirical: the split pays two extra joins +
+        a broadcast + a union per superstep, which only wins when the
+        avoided straggler dominates. Interleaved sf0.1 WCC A/B: the
+        events graph (max degree 1.64x the per-partition share)
+        measured split 12.5-20.0 s vs unsplit 6.8-8.7 s — splitting
+        LOST 1.8x; the user->tool link graph (each tool 3.2x the
+        share) is the documented -31% split win. 3x separates the
+        two. With the auto threshold at most ``n_parts / 3`` srcs can
+        exceed it (their degrees sum to |E|), so the broadcast hub
+        state stays bounded by n_parts rows at ANY graph scale.
+        (hot, hub_ids) are (None, None) when no src qualifies.
         """
         key = ("pregel_layout", n_parts, hub_threshold)
         if key in self._pregel_edges:
@@ -177,7 +185,7 @@ class Graph:
         e = self.view(weight_property=True)
         thr = hub_threshold
         if thr is None:
-            thr = max(e.count() // n_parts, 256)
+            thr = max(3 * e.count() // n_parts, 256)
         hubs = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
