@@ -2242,6 +2242,40 @@ def _q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_model_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.beta.model.* lifecycle (ModelCatalogProc.java, Model.java
+    44-96): train a small GraphSAGE on the user-tool graph storing it
+    in a model catalog, then exercise exists/publish/list/drop. All
+    output columns are config-derived constants, value-exact in SQL."""
+    from graph_data_science_spark.algorithms.graphsage import graphsage_train
+    from graph_data_science_spark.models import ModelCatalog
+
+    g = _user_tool_graph(spark, sf_dir)
+    cat = ModelCatalog()
+    graphsage_train(
+        spark, g, model_name="gs-model", model_catalog=cat, username="alice",
+        embedding_dim=4, sample_sizes=[3], epochs=1, max_iterations=2,
+        sample_nodes=64, seed=3,
+    )
+    published = cat.publish("alice", "gs-model")
+    visible_to_bob = cat.exists("bob", published.name)
+    n_listed = len(cat.list("alice"))
+    cat.drop("alice", "gs-model")
+    exists_after_drop = "gs-model" in {
+        m["modelName"] for m in cat.list("alice") if m["creator"] == "alice"
+    }
+    row = [(
+        "gs-model", "graphSage", published.name, bool(visible_to_bob),
+        n_listed, bool(exists_after_drop),
+    )]
+    return spark.createDataFrame(
+        row,
+        "model_name string, model_type string, published_name string, "
+        "visible_to_other_user boolean, n_listed_after_publish long, "
+        "exists_after_drop boolean",
+    )
+
+
 def _q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant oracle: the pipeline trains LR on a perfectly
     separable target — tool vertices (negative vid) vs user vertices,
@@ -2434,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_k_cut": _q_max_k_cut,
         "celf": _q_celf,
         "graphsage": _q_graphsage,
+        "model_catalog": _q_model_catalog,
         "wcc_full": _q_wcc_full,
         "wcc_threshold": _q_wcc_threshold,
         "wcc_seeded": _q_wcc_seeded,
@@ -3475,6 +3510,14 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_nodes,
        CAST({GS_DIM} AS INTEGER) AS min_dim,
        CAST({GS_DIM} AS INTEGER) AS max_dim,
        CAST(0 AS BIGINT) AS n_nonunit
+""",
+        "model_catalog": """
+SELECT 'gs-model' AS model_name,
+       'graphSage' AS model_type,
+       'gs-model_public' AS published_name,
+       TRUE AS visible_to_other_user,
+       CAST(2 AS BIGINT) AS n_listed_after_publish,
+       FALSE AS exists_after_drop
 """,
         "node_classification": f"""
 WITH {USER_TOOL_PRELUDE.strip()}

@@ -332,12 +332,42 @@ class GraphSageModel:
         return h.select("id", F.col("vec").alias("embedding"))
 
 
-def graphsage_train(spark: SparkSession, g: Graph, **kwargs) -> GraphSageModel:
+def graphsage_train(
+    spark: SparkSession,
+    g: Graph,
+    model_name: str | None = None,
+    model_catalog=None,
+    username: str = "",
+    **kwargs,
+) -> GraphSageModel:
+    """Train; with ``model_name`` the result also registers in the
+    model catalog under algo type "graphSage" (GraphSageTrainProc
+    stores to ModelCatalog — GraphSageTrainProc.java + Model.java)."""
     cfg = GraphSageConfig(**kwargs)
     feats = _node_features(g, cfg)
     _, X, edge_idx = _sample_subgraph(g, cfg, feats)
     Ws = _train_weights(X, edge_idx, cfg)
-    return GraphSageModel(config=cfg, weights=Ws)
+    model = GraphSageModel(config=cfg, weights=Ws)
+    if model_name is not None:
+        from dataclasses import asdict
+
+        from graph_data_science_spark.models import MODEL_CATALOG, Model
+
+        catalog = model_catalog if model_catalog is not None else MODEL_CATALOG
+        catalog.set(
+            Model(
+                creator=username,
+                name=model_name,
+                algo_type="graphSage",
+                data={"weights": Ws},
+                train_config={
+                    k: v for k, v in asdict(cfg).items()
+                    if isinstance(v, (int, float, str, bool, list, type(None)))
+                },
+                custom_info={"n_layers": len(Ws)},
+            )
+        )
+    return model
 
 
 def graphsage(spark: SparkSession, g: Graph, **kwargs) -> DataFrame:
