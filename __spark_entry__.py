@@ -2242,6 +2242,30 @@ def _q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_catalog_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph property-management procs in one lifecycle
+    (GraphStreamNodePropertiesProc / GraphRemoveNodePropertiesProc /
+    GraphDeleteRelationshipProc, proc/catalog/...): mutate an
+    out-degree node property, stream it back per node (value-exact),
+    remove it, and delete the REPLY relationship type. Scalar
+    outcomes ride as constant columns."""
+    g = _graph(spark, sf_dir)
+    out_deg = g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("out_deg")
+    )
+    g2 = g.with_node_property(out_deg)
+    streamed = g2.stream_node_properties(["out_deg"]).na.fill({"out_deg": 0.0})
+    g3 = g2.remove_node_properties("out_deg")
+    prop_removed = "out_deg" not in g3.nodes.columns
+    edges_after = g.delete_relationships("REPLY").edges.count()
+    return streamed.select(
+        "id",
+        "out_deg",
+        F.lit(bool(prop_removed)).alias("prop_removed"),
+        F.lit(int(edges_after)).alias("edges_after_delete"),
+    )
+
+
 def _q_model_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.beta.model.* lifecycle (ModelCatalogProc.java, Model.java
     44-96): train a small GraphSAGE on the user-tool graph storing it
@@ -2469,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "celf": _q_celf,
         "graphsage": _q_graphsage,
         "model_catalog": _q_model_catalog,
+        "catalog_properties": _q_catalog_properties,
         "wcc_full": _q_wcc_full,
         "wcc_threshold": _q_wcc_threshold,
         "wcc_seeded": _q_wcc_seeded,
@@ -3510,6 +3535,14 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_nodes,
        CAST({GS_DIM} AS INTEGER) AS min_dim,
        CAST({GS_DIM} AS INTEGER) AS max_dim,
        CAST(0 AS BIGINT) AS n_nonunit
+""",
+        "catalog_properties": f"""
+WITH {pre}
+SELECT v.id,
+       COALESCE(d.degree, 0.0) AS out_deg,
+       TRUE AS prop_removed,
+       (SELECT COUNT(*) FROM invokes) AS edges_after_delete
+FROM verts v LEFT JOIN deg d ON d.id = v.id
 """,
         "model_catalog": """
 SELECT 'gs-model' AS model_name,
