@@ -183,17 +183,18 @@ class Graph:
         if key in self._pregel_edges:
             return self._pregel_edges[key]
         e = self.view(weight_property=True)
+        # ONE pre-pass over the edges: the degree table gives both
+        # |E| (sum of degrees — an O(|V|)-row aggregate, not a second
+        # full edge scan) and the hub set
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).persist()
         thr = hub_threshold
         if thr is None:
-            thr = max(3 * e.count() // n_parts, 256)
-        hubs = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .where(F.col("_d") > thr)
-            .select("src")
-            .persist()
-        )
-        if hubs.count() == 0:
+            total = deg.agg(F.sum("_d")).collect()[0][0] or 0
+            thr = max(3 * int(total) // n_parts, 256)
+        hubs = deg.where(F.col("_d") > thr).select("src").persist()
+        n_hubs = hubs.count()
+        deg.unpersist()
+        if n_hubs == 0:
             hubs.unpersist()
             out = (self.pregel_edges(n_parts), None, None)
         else:
