@@ -50,6 +50,10 @@ class PageRankConfig:
     max_iterations: int = 20
     weighted: bool = False
     source_nodes: list[int] | None = None
+    #: post-hoc score scaling (PageRankConfig.scaler(), applied by
+    #: PageRankAlgorithm.scaleScores PageRankAlgorithm.java:77-95);
+    #: any functions.scalers.VARIANTS name, default NONE
+    scaler: str = "NONE"
 
     def __post_init__(self) -> None:
         if not 0 < self.damping_factor < 1:
@@ -58,6 +62,10 @@ class PageRankConfig:
             raise ValueError("max_iterations must be >= 1")
         if self.tolerance < 0:
             raise ValueError("tolerance must be >= 0")
+        from graph_data_science_spark.functions.scalers import VARIANTS
+
+        if self.scaler.upper() not in VARIANTS:
+            raise ValueError(f"scaler must be one of {VARIANTS}")
 
 
 def _degree_state(graph: Graph, weighted: bool) -> DataFrame:
@@ -230,6 +238,22 @@ def _run(
     return res
 
 
+def _scale_scores(
+    state: DataFrame, cfg: PageRankConfig, is_eigenvector: bool = False
+) -> DataFrame:
+    """Post-hoc result scaling (PageRankAlgorithm.scaleScores,
+    PageRankAlgorithm.java:77-95): NONE is a no-op, and so is L2NORM
+    on eigenvector (its scores are already L2-normalized)."""
+    v = cfg.scaler.upper()
+    if v == "NONE" or (v == "L2NORM" and is_eigenvector):
+        return state
+    from graph_data_science_spark.functions.scalers import scale_property
+
+    return scale_property(state, "score", v, out_col="score_scaled").select(
+        "id", F.col("score_scaled").alias("score")
+    )
+
+
 def pagerank(
     spark: SparkSession,
     graph: Graph,
@@ -241,7 +265,9 @@ def pagerank(
     """GDS-parity PageRank; result state has (id, rank)."""
     cfg = config or PageRankConfig()
     res = _run(spark, _PageRankComputation(cfg), graph, cfg, checkpoint_dir, salt_buckets, resume)
-    res.state = res.state.select("id", F.col("rank").alias("score"))
+    res.state = _scale_scores(
+        res.state.select("id", F.col("rank").alias("score")), cfg
+    )
     return res
 
 
@@ -266,7 +292,9 @@ def article_rank(
         salt_buckets,
         resume,
     )
-    res.state = res.state.select("id", F.col("rank").alias("score"))
+    res.state = _scale_scores(
+        res.state.select("id", F.col("rank").alias("score")), cfg
+    )
     return res
 
 
@@ -288,5 +316,9 @@ def eigenvector(
         salt_buckets,
         resume,
     )
-    res.state = res.state.select("id", F.col("rank").alias("score"))
+    res.state = _scale_scores(
+        res.state.select("id", F.col("rank").alias("score")),
+        cfg,
+        is_eigenvector=True,
+    )
     return res

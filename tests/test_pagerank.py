@@ -113,3 +113,51 @@ def test_pagerank_parallelism_invariance(spark, catalog):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for v in r1:
         assert r1[v] == pytest.approx(r2[v], abs=1e-12)
+
+
+def test_pagerank_scaler_variants(spark, catalog):
+    # PageRankAlgorithm.scaleScores (PageRankAlgorithm.java:77-95):
+    # scaler applies to the final scores; NONE is identity; L2NORM on
+    # eigenvector is a no-op (already normalized)
+    import math
+
+    from graph_data_science_spark.algorithms.pagerank import eigenvector
+
+    g = _graph(spark, catalog, name="prg_scaled")
+    base = {
+        r["id"]: r["score"]
+        for r in pagerank(
+            spark, g, PageRankConfig(max_iterations=10, tolerance=0.0)
+        ).state.collect()
+    }
+    l2 = {
+        r["id"]: r["score"]
+        for r in pagerank(
+            spark, g, PageRankConfig(max_iterations=10, tolerance=0.0, scaler="L2NORM")
+        ).state.collect()
+    }
+    norm = math.sqrt(sum(v * v for v in base.values()))
+    for k in base:
+        assert l2[k] == pytest.approx(base[k] / norm, rel=1e-9)
+    assert sum(v * v for v in l2.values()) == pytest.approx(1.0, rel=1e-9)
+
+    mm = {
+        r["id"]: r["score"]
+        for r in pagerank(
+            spark, g, PageRankConfig(max_iterations=10, tolerance=0.0, scaler="MINMAX")
+        ).state.collect()
+    }
+    assert min(mm.values()) == pytest.approx(0.0, abs=1e-12)
+    assert max(mm.values()) == pytest.approx(1.0, abs=1e-12)
+
+    # eigenvector + L2NORM: no-op (scores already unit-L2)
+    ev = {
+        r["id"]: r["score"]
+        for r in eigenvector(
+            spark, g, PageRankConfig(max_iterations=5, tolerance=0.0, scaler="L2NORM")
+        ).state.collect()
+    }
+    assert sum(v * v for v in ev.values()) == pytest.approx(1.0, rel=1e-6)
+
+    with pytest.raises(ValueError, match="scaler"):
+        PageRankConfig(scaler="NOPE")
