@@ -45,6 +45,18 @@ class LouvainConfig:
     max_levels: int = 10
     max_iterations: int = 10  # phase-1 rounds per level
     tolerance: float = 1e-4  # min modularity gain to start a new level
+    #: return the per-level dendrogram column (LouvainBaseConfig.java:59)
+    include_intermediate_communities: bool = False
+    #: dense 0..C-1 community relabel; mutually exclusive with the
+    #: dendrogram (LouvainBaseConfig.java:65-67)
+    consecutive_ids: bool = False
+
+    def __post_init__(self) -> None:
+        if self.include_intermediate_communities and self.consecutive_ids:
+            raise ValueError(
+                "`includeIntermediateCommunities` and the `consecutiveIds` "
+                "option cannot be used at the same time."
+            )
 
 
 @dataclass
@@ -273,6 +285,7 @@ def louvain(
     mapping = graph.vertices().select("id", F.col("id").alias("community"))
     level_edges = edges
     modularities: list[float] = []
+    level_mappings: list[DataFrame] = []  # dendrogram levels (id, community)
     prev_q = None
     levels = 0
 
@@ -294,6 +307,7 @@ def louvain(
             break
         mapping = new_mapping
         modularities.append(q)
+        level_mappings.append(new_mapping)
         levels += 1
         if prev_q is not None and q - prev_q < cfg.tolerance:
             break
@@ -321,6 +335,34 @@ def louvain(
         level_edges = coarse
 
     edges.unpersist()
+    if cfg.include_intermediate_communities and level_mappings:
+        # dendrogram column: per-level community id for every vertex
+        # (LouvainResult intermediateCommunities). L <= max_levels
+        # co-keyed |V|-row joins — no driver materialization.
+        out = level_mappings[0].select("id", F.col("community").alias("_l0"))
+        for i, lm in enumerate(level_mappings[1:], start=1):
+            out = out.join(
+                lm.select("id", F.col("community").alias(f"_l{i}")), "id"
+            )
+        mapping = out.select(
+            "id",
+            F.col(f"_l{levels - 1}").alias("community"),
+            F.array(*[f"_l{i}" for i in range(levels)]).alias(
+                "intermediate_communities"
+            ),
+        )
+    elif cfg.consecutive_ids:
+        # dense relabel without a single-task global window (same
+        # device as WCC consecutive_ids): range-partitioned rank over
+        # the distinct communities, then a broadcast-friendly join
+        from graph_data_science_spark.util import global_rank
+
+        relabel = global_rank(
+            mapping.select("community").distinct(), ["community"], rank_col="_c"
+        ).withColumn("_c", F.col("_c") - 1)
+        mapping = mapping.join(relabel, "community").select(
+            "id", F.col("_c").alias("community")
+        )
     mapping = mapping.localCheckpoint(eager=True)  # outlive workdir cleanup
     shutil.rmtree(workdir, ignore_errors=True)
     return LouvainResult(

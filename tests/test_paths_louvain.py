@@ -84,6 +84,36 @@ def test_louvain_ring_of_cliques_levels(spark):
     assert res.modularity == pytest.approx(0.5, abs=1e-9)
 
 
+def test_louvain_intermediate_communities(spark):
+    # LouvainBaseConfig.includeIntermediateCommunities: per-level
+    # dendrogram column; last level equals the final community
+    pairs = _clique([0, 1, 2, 3]) + _clique([4, 5, 6, 7]) + [(3, 4)]
+    g = _graph(spark, pairs)
+    res = louvain(spark, g, LouvainConfig(include_intermediate_communities=True))
+    rows = {r["id"]: r for r in res.communities.collect()}
+    assert res.levels >= 1
+    for r in rows.values():
+        assert len(r["intermediate_communities"]) == res.levels
+        assert r["intermediate_communities"][-1] == r["community"]
+    # final partition still the two cliques
+    assert len({rows[i]["community"] for i in (0, 1, 2, 3)}) == 1
+    assert rows[0]["community"] != rows[4]["community"]
+
+
+def test_louvain_consecutive_ids(spark):
+    pairs = _clique([10, 11, 12, 13]) + _clique([24, 25, 26, 27]) + [(13, 24)]
+    g = _graph(spark, pairs)
+    res = louvain(spark, g, LouvainConfig(consecutive_ids=True))
+    comms = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert sorted(set(comms.values())) == [0, 1]
+
+
+def test_louvain_option_exclusion():
+    # LouvainBaseConfig.java:65-67
+    with pytest.raises(ValueError, match="cannot be used at the same time"):
+        LouvainConfig(include_intermediate_communities=True, consecutive_ids=True)
+
+
 # ---------------------------------------------------- allShortestPaths
 
 def test_all_shortest_paths_unweighted(spark):
