@@ -27,6 +27,14 @@ class NodeSimilarityConfig:
     degree_cutoff: int = 1
     similarity_cutoff: float = 1e-42
     top_k: int = 10
+    #: per-node LEAST-similar k (NodeSimilarityBaseConfig bottomK);
+    #: >0 switches the per-node ranking to ascending — mutually
+    #: exclusive with a non-default top_k, as in the reference
+    bottom_k: int = 0
+    #: global result caps (topN/bottomN, 0 = unlimited): keep only
+    #: the N highest- (or lowest-) similarity pairs overall
+    top_n: int = 0
+    bottom_n: int = 0
     metric: str = "JACCARD"  # JACCARD | OVERLAP
     #: relationshipWeightProperty analog (NodeSimilarity.java:76,
     #: weightedJaccard :324-363): jaccard = sum(min(w1,w2)) /
@@ -157,11 +165,32 @@ def node_similarity(
             sim = F.col("inter") / F.least("deg1", "deg2").cast("double")
     else:
         raise ValueError(f"unknown metric {cfg.metric!r}")
-    w = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
-    return (
+    if cfg.bottom_k > 0 and cfg.top_k != 10:
+        raise ValueError("topK and bottomK cannot both be configured")
+    if cfg.top_n > 0 and cfg.bottom_n > 0:
+        raise ValueError("topN and bottomN cannot both be configured")
+    k = cfg.bottom_k if cfg.bottom_k > 0 else cfg.top_k
+    order = (
+        [F.asc("similarity"), F.asc("node2")]
+        if cfg.bottom_k > 0
+        else [F.desc("similarity"), F.asc("node2")]
+    )
+    w = Window.partitionBy("node1").orderBy(*order)
+    out = (
         joined.withColumn("similarity", F.round(sim, 6))
         .where(F.col("similarity") >= cfg.similarity_cutoff)
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= cfg.top_k)
+        .where(F.col("rank") <= k)
         .select("node1", "node2", "similarity", "rank")
     )
+    # global caps: orderBy().limit() compiles to TakeOrdered — a
+    # per-partition top-N + driver merge of N rows, no global sort
+    if cfg.top_n > 0:
+        out = out.orderBy(
+            F.desc("similarity"), F.asc("node1"), F.asc("node2")
+        ).limit(cfg.top_n)
+    elif cfg.bottom_n > 0:
+        out = out.orderBy(
+            F.asc("similarity"), F.asc("node1"), F.asc("node2")
+        ).limit(cfg.bottom_n)
+    return out

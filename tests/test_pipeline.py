@@ -354,3 +354,40 @@ def test_bpe_token_count(spark):
     assert (got[0]["ws"], got[0]["bpe"]) == (6, 11)
     assert (got[1]["ws"], got[1]["bpe"]) == (0, 0)
     assert got[2]["bpe"] >= 0  # whitespace-only: no letter/digit/punct runs
+
+
+def test_node_similarity_bottomk_topn(spark, catalog):
+    """bottomK / topN / bottomN (NodeSimilarityBaseConfig): bottomK
+    ranks each node's LEAST similar neighbors; topN/bottomN cap the
+    global result; conflicting combinations raise."""
+    from graph_data_science_spark.algorithms.similarity import (
+        NodeSimilarityConfig,
+        node_similarity,
+    )
+    from tests.conftest import edge_df
+
+    g = catalog.create(
+        "nsim_bk",
+        edge_df(spark, [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 12)]),
+    )
+    bottom = {
+        (r["node1"], r["node2"]): r["rank"]
+        for r in node_similarity(
+            spark, g, NodeSimilarityConfig(bottom_k=1)
+        ).collect()
+    }
+    # node 0's LEAST similar peer is 2 (1/3 < 1.0 vs node 1)
+    assert (0, 2) in bottom and (0, 1) not in bottom
+
+    topn = node_similarity(spark, g, NodeSimilarityConfig(top_n=2)).collect()
+    assert len(topn) == 2 and all(r["similarity"] == 1.0 for r in topn)
+
+    botn = node_similarity(spark, g, NodeSimilarityConfig(bottom_n=2)).collect()
+    assert len(botn) == 2 and all(
+        r["similarity"] == pytest.approx(1 / 3, abs=1e-6) for r in botn
+    )
+
+    with pytest.raises(ValueError, match="topK and bottomK"):
+        node_similarity(spark, g, NodeSimilarityConfig(top_k=3, bottom_k=2)).collect()
+    with pytest.raises(ValueError, match="topN and bottomN"):
+        node_similarity(spark, g, NodeSimilarityConfig(top_n=1, bottom_n=1)).collect()
