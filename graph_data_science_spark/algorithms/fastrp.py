@@ -79,10 +79,60 @@ def fastrp(
     iteration_weights: list[float] | None = None,
     seed: int = 42,
     weighted: bool = False,
+    normalization_strength: float = 0.0,
+    node_self_influence: float = 0.0,
+    property_ratio: float = 0.0,
+    feature_properties: list[str] | None = None,
 ) -> DataFrame:
-    """(id, embedding array<float>) — deterministic FastRP embeddings."""
+    """(id, embedding array<float>) — deterministic FastRP embeddings.
+
+    Extended knobs (FastRPBaseConfig.java:43-90, FastRP.java:340-400):
+
+    * ``normalization_strength`` β — each node's initial vector is
+      scaled by degree^β (degree 0 → 1), so high-degree neighbors
+      contribute more (β>0) or less (β<0) to the first propagation.
+      Deviation: the reference scales the RAW sparse entries; here
+      the scale applies to the L2-normalized base (identical at the
+      default β=0, and per-row norms of the sparse base concentrate
+      around a constant, so the neighbor weighting matches up to a
+      near-constant factor that the post-mean normalization cancels).
+    * ``node_self_influence`` — adds selfInfluence × the initial
+      vector to the final embedding (addInitialVectorsToEmbedding,
+      FastRP.java:203-213).
+    * ``property_ratio`` + ``feature_properties`` — FastRP-Extended:
+      the last round(dim × ratio) entries of every initial vector are
+      Σ_f value_f × propertyVector_f instead of random, where each
+      feature's propertyVector is its own deterministic ±sqrt(s)
+      draw (FastRP.java:176-183,382-396); structural base shrinks to
+      the remaining entries.
+    """
     weights = iteration_weights if iteration_weights is not None else [0.0, 1.0, 1.0]
+    if abs(normalization_strength) > 10:
+        raise ValueError("normalization_strength out of sane range")
+    if node_self_influence < 0:
+        raise ValueError("The value of `nodeSelfInfluence` may not be negative.")
+    if not weights and node_self_influence == 0:
+        raise ValueError(
+            "`iterationWeights` must not be empty if `nodeSelfInfluence` is zero."
+        )
+    if not 0.0 <= property_ratio < 1.0:
+        raise ValueError("property_ratio must be in [0, 1)")
+    if property_ratio > 0.0 and not feature_properties:
+        raise ValueError("property_ratio > 0 requires feature_properties")
+    prop_dim = int(round(embedding_dim * property_ratio))
+    base_dim = embedding_dim - prop_dim
+    feats = list(feature_properties or [])
     edges = graph.view(weight_property=weighted).persist()
+
+    # per-feature deterministic property vectors (tiny: F × prop_dim),
+    # broadcast by closure into the Arrow batches
+    prop_vectors = (
+        _init_rows(
+            -(np.arange(len(feats), dtype=np.int64) + 1), prop_dim, seed ^ 0x5EED
+        )
+        if prop_dim > 0
+        else None
+    )
 
     def init_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -90,12 +140,39 @@ def fastrp(
                 yield pd.DataFrame({"id": [], "emb": []})
                 continue
             ids = pdf["id"].to_numpy(np.int64)
-            mat = _l2_rows(_init_rows(ids, embedding_dim, seed))
+            base = _l2_rows(_init_rows(ids, base_dim, seed))
+            if prop_dim > 0:
+                fmat = np.stack(
+                    [pdf[c].to_numpy(np.float64) for c in feats], axis=1
+                ).astype(np.float32)
+                mat = np.concatenate([base, fmat @ prop_vectors], axis=1)
+            else:
+                mat = base
+            if normalization_strength != 0.0:
+                deg = pdf["_deg"].to_numpy(np.float64)
+                scale = np.where(
+                    deg == 0, 1.0, np.power(deg, normalization_strength)
+                ).astype(np.float32)
+                mat = mat * scale[:, None]
             yield pd.DataFrame({"id": ids, "emb": list(mat)})
 
-    state = graph.vertices().mapInPandas(
+    init_input = graph.vertices()
+    if prop_dim > 0:
+        if graph.nodes is None:
+            raise ValueError("feature_properties requires graph.nodes")
+        init_input = init_input.join(
+            graph.nodes.select("id", *feats), "id", "left"
+        ).na.fill({c: 0.0 for c in feats})
+    if normalization_strength != 0.0:
+        deg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("double").alias("_deg")
+        )
+        init_input = init_input.join(deg, "id", "left").na.fill({"_deg": 0.0})
+
+    state = init_input.mapInPandas(
         init_batch, f"id long, emb array<float>"
     ).localCheckpoint(eager=True)
+    init_state = state
 
     acc = None  # weighted sum of iteration embeddings
 
@@ -110,7 +187,7 @@ def fastrp(
             .select("id", F.zip_with("acc", "_c", lambda a, b: a + b).alias("acc"))
         )
 
-    acc = add_weighted(state, weights[0], acc)
+    acc = add_weighted(state, weights[0], acc) if weights else None
 
     for w in weights[1:]:
         # weighted neighbor mean, JVM-side: posexplode the neighbor
@@ -163,6 +240,8 @@ def fastrp(
         )
         acc = add_weighted(state, w, acc)
 
+    if node_self_influence > 0:
+        acc = add_weighted(init_state, node_self_influence, acc)
     edges.unpersist()
     if acc is None:
         return state.select("id", F.col("emb").alias("embedding"))

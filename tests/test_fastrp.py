@@ -43,3 +43,87 @@ def test_fastrp_seed_changes_embeddings(spark):
     a = {r["id"]: r["embedding"] for r in fastrp(spark, g, 16, seed=1).collect()}
     b = {r["id"]: r["embedding"] for r in fastrp(spark, g, 16, seed=2).collect()}
     assert a[0] != b[0]
+
+
+def test_fastrp_extended_knobs(spark):
+    """normalizationStrength / nodeSelfInfluence / propertyRatio
+    (FastRPBaseConfig.java:43-90, FastRP.java:176-213,340-400)."""
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    g = Graph(name="frx", edges=edge_df(spark, pairs)).persist()
+
+    base = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, g, embedding_dim=16, seed=7).collect()}
+
+    # beta=0 & selfInfluence=0 are exact no-ops vs the defaults
+    same = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, g, embedding_dim=16, seed=7,
+        normalization_strength=0.0, node_self_influence=0.0).collect()}
+    for k in base:
+        np.testing.assert_array_equal(base[k], same[k])
+
+    # beta != 0 changes the embeddings when a node's neighbors have
+    # DIFFERENT degrees (a uniform neighbor scale cancels in the
+    # post-mean normalization): 0's neighbors are 1 (out-deg 2) and
+    # 2 (out-deg 0)
+    gh = Graph(name="frx_h", edges=edge_df(
+        spark, [(0, 1), (0, 2), (1, 3), (1, 4)])).persist()
+    base_h = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, gh, embedding_dim=16, seed=7).collect()}
+    beta = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, gh, embedding_dim=16, seed=7,
+        normalization_strength=-0.5).collect()}
+    assert not np.allclose(base_h[0], beta[0])
+    gh.unpersist()
+
+    # selfInfluence adds selfInfluence * init to the final embedding
+    si = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, g, embedding_dim=16, seed=7, node_self_influence=2.0).collect()}
+    init = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, g, embedding_dim=16, seed=7,
+        iteration_weights=[], node_self_influence=1.0).collect()}
+    for k in base:
+        np.testing.assert_allclose(si[k], base[k] + 2.0 * init[k], atol=1e-5)
+
+    with pytest.raises(ValueError, match="may not be negative"):
+        fastrp(spark, g, node_self_influence=-1.0)
+    with pytest.raises(ValueError, match="must not be empty"):
+        fastrp(spark, g, iteration_weights=[], node_self_influence=0.0)
+    g.unpersist()
+
+
+def test_fastrp_property_aware(spark):
+    """FastRP-Extended: last dim*ratio entries derive from node
+    features via per-feature random vectors; identical features +
+    identical neighborhoods => identical property parts."""
+    from pyspark.sql import functions as F
+
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    edges = edge_df(spark, pairs)
+    nodes = spark.createDataFrame(
+        [(i, float(i % 3), 1.0) for i in range(6)], "id long, f1 double, f2 double"
+    )
+    g = Graph(name="frp", edges=edges, nodes=nodes).persist()
+
+    # embedding = the init vector itself (no propagation): the last
+    # dim*ratio entries are exactly sum_f value_f * propertyVector_f
+    emb = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, g, embedding_dim=16, seed=7, iteration_weights=[],
+        node_self_influence=1.0,
+        property_ratio=0.5, feature_properties=["f1", "f2"]).collect()}
+    assert all(v.shape == (16,) for v in emb.values())
+    # nodes 1 and 4 share features (f1=1, f2=1): identical property
+    # parts, different structural (id-hashed) parts
+    np.testing.assert_allclose(emb[1][8:], emb[4][8:], atol=1e-6)
+    assert not np.allclose(emb[1][:8], emb[4][:8])
+    # node 0 (f1=0) differs from node 1 (f1=1) in the property part
+    assert not np.allclose(emb[0][8:], emb[1][8:])
+    # linearity: features (2,2) would double the (1,1) property part —
+    # check via node 3 (f1=0, f2=1) + node 1 (f1=1, f2=1) relation:
+    # prop(1) - prop(3)|_{f2 part cancels} is the f1 vector, nonzero
+    assert np.linalg.norm(emb[1][8:] - emb[3][8:]) > 1e-8
+
+    with pytest.raises(ValueError, match="requires feature_properties"):
+        fastrp(spark, g, property_ratio=0.5)
+    with pytest.raises(ValueError, match="property_ratio"):
+        fastrp(spark, g, property_ratio=1.5, feature_properties=["f1"])
+    g.unpersist()
