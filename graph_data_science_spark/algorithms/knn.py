@@ -67,6 +67,8 @@ def knn(
     random_joins: int = 10,
     seed: int = 42,
     similarity: str = "auto",
+    initial_sampler: str = "uniform",
+    graph_edges: DataFrame | None = None,
 ) -> DataFrame:
     """(node1, node2, similarity, rank) — approximate top-k by the
     property-appropriate metric.
@@ -109,6 +111,47 @@ def knn(
         .where(F.col("id") != F.col("node2"))
         .select(F.col("id").alias("node1"), "node2")
     )
+    if initial_sampler.lower() == "randomwalk":
+        # KnnBaseConfig.initialSampler RANDOMWALK
+        # (RandomWalkKnnSampler.java): seed each node's candidate list
+        # from its graph neighborhood (walk-reachable nodes) instead
+        # of uniformly — locality-biased init converges faster on
+        # clustered data. Deterministic Spark shape: candidates from
+        # the <=2-hop neighborhood (the support of short walks),
+        # hash-ranked per node, topped up by the uniform draw when a
+        # neighborhood is smaller than k.
+        if graph_edges is None:
+            raise ValueError("initial_sampler='randomwalk' requires graph_edges")
+        e1 = graph_edges.select(
+            F.col("src").alias("node1"), F.col("dst").alias("node2")
+        )
+        e2 = (
+            e1.alias("a")
+            .join(
+                e1.alias("b"), F.col("a.node2") == F.col("b.node1")
+            )
+            .select(F.col("a.node1").alias("node1"), F.col("b.node2").alias("node2"))
+        )
+        walk = (
+            e1.unionByName(e2)
+            .where(F.col("node1") != F.col("node2"))
+            .dropDuplicates(["node1", "node2"])
+            # keep only nodes that carry the property
+            .join(ids.select(F.col("id").alias("node2")), "node2", "left_semi")
+            .withColumn(
+                "_wr",
+                F.row_number().over(
+                    Window.partitionBy("node1").orderBy(
+                        F.xxhash64("node2", F.lit(seed)), F.asc("node2")
+                    )
+                ),
+            )
+            .where(F.col("_wr") <= top_k)
+            .select("node1", "node2")
+        )
+        # uniform top-up keeps every candidate list at k even for
+        # isolated / low-degree nodes
+        cand0 = walk.unionByName(cand0)
 
     def score_and_topk(pairs: DataFrame) -> DataFrame:
         va = v.select(F.col("id").alias("node1"), F.col("vec").alias("_va"))

@@ -63,3 +63,40 @@ def test_knn_auto_dispatch_cosine_unchanged(spark):
               max_iterations=8, random_joins=2)
     got = {r["node1"]: r["node2"] for r in res.collect()}
     assert got[1] == 2 and got[2] == 1
+
+
+def test_knn_randomwalk_initial_sampler(spark):
+    """KnnBaseConfig.initialSampler RANDOMWALK
+    (RandomWalkKnnSampler.java): graph-neighborhood-seeded init, same
+    converged top-k on a small instance, and the option validates."""
+    import numpy as np
+
+    from graph_data_science_spark.algorithms.knn import knn
+    from tests.conftest import edge_df
+
+    rng = np.random.default_rng(3)
+    nodes = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(20)],
+        "id long, embedding array<double>",
+    )
+    edges = edge_df(spark, [(i, (i + 1) % 20) for i in range(20)])
+
+    uni = {
+        (r["node1"], r["node2"])
+        for r in knn(spark, nodes, top_k=3, seed=9).collect()
+    }
+    rw = {
+        (r["node1"], r["node2"])
+        for r in knn(
+            spark, nodes, top_k=3, seed=9,
+            initial_sampler="randomwalk", graph_edges=edges,
+        ).collect()
+    }
+    # NN-descent converges to the same exact top-k from either init
+    # on this tiny instance
+    assert rw == uni
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires graph_edges"):
+        knn(spark, nodes, initial_sampler="randomwalk")
