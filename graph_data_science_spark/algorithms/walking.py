@@ -29,20 +29,40 @@ def collapse_path(
     allow_self_loops: bool = False,
 ) -> DataFrame:
     """Edges (src, dst, rel_type=new_type, weight=1.0) for every
-    two-hop path src -[t0]-> mid -[t1]-> dst.
+    path matching a relationship-type template.
 
-    ``rel_types`` = [t0, t1] (the reference collapses a fixed
-    template of relationship types in order).
+    ``rel_types`` is one template (``["T0", "T1", ...]``, any length
+    >= 1) or several (``[["T0", "T1"], ["A", "B", "C"]]`` —
+    CollapsePathConfig.pathTemplates); results union. Each template
+    chains one equi-join per hop (CollapsePath.java:77-142 walks the
+    fixed type sequence); Catalyst reorders/broadcasts per AQE.
     """
-    if len(rel_types) != 2:
-        raise ValueError("collapse_path expects exactly two relationship types")
-    e0 = graph.edges.where(F.col("rel_type") == rel_types[0]).select(
-        F.col("src"), F.col("dst").alias("mid")
-    )
-    e1 = graph.edges.where(F.col("rel_type") == rel_types[1]).select(
-        F.col("src").alias("mid"), F.col("dst")
-    )
-    out = e0.join(e1, "mid").select("src", "dst")
+    templates: list[list[str]]
+    if rel_types and isinstance(rel_types[0], (list, tuple)):
+        templates = [list(t) for t in rel_types]
+    else:
+        templates = [list(rel_types)]
+    if not templates or any(len(t) < 1 for t in templates):
+        raise ValueError("each path template needs at least one relationship type")
+
+    def one(template: list[str]) -> DataFrame:
+        cur = graph.edges.where(F.col("rel_type") == template[0]).select(
+            "src", "dst"
+        )
+        for t in template[1:]:
+            nxt = graph.edges.where(F.col("rel_type") == t).select(
+                F.col("src").alias("_mid"), F.col("dst").alias("_d")
+            )
+            cur = (
+                cur.withColumnRenamed("dst", "_mid")
+                .join(nxt, "_mid")
+                .select("src", F.col("_d").alias("dst"))
+            )
+        return cur
+
+    out = one(templates[0])
+    for t in templates[1:]:
+        out = out.unionByName(one(t))
     if not allow_self_loops:
         out = out.where(F.col("src") != F.col("dst"))
     return out.dropDuplicates(["src", "dst"]).select(

@@ -56,3 +56,37 @@ def test_bfs_target_truncates_after_level(spark, catalog):
     g = catalog.create("tr8", edge_df(spark, TREE))
     # target 4 found at level 1 -> nothing beyond level 1 returned
     assert _order(bfs(spark, g, source=0, target_nodes=[4])) == [0, 1, 4]
+
+
+def test_collapse_path_templates(spark):
+    """Arbitrary-length and multiple pathTemplates
+    (CollapsePathConfig.pathTemplates, CollapsePath.java:77-142)."""
+    from graph_data_science_spark.algorithms.walking import collapse_path
+    from graph_data_science_spark.catalog import Graph
+
+    rows = [
+        (0, 1, "A", 1.0), (1, 2, "B", 1.0), (2, 3, "C", 1.0),
+        (0, 4, "X", 1.0), (4, 5, "Y", 1.0),
+    ]
+    g = Graph(name="cp", edges=spark.createDataFrame(
+        rows, "src long, dst long, rel_type string, weight double"))
+
+    # 3-hop template A->B->C
+    abc = {(r["src"], r["dst"]) for r in collapse_path(
+        spark, g, ["A", "B", "C"]).collect()}
+    assert abc == {(0, 3)}
+
+    # multiple templates union
+    multi = {(r["src"], r["dst"]) for r in collapse_path(
+        spark, g, [["A", "B"], ["X", "Y"]]).collect()}
+    assert multi == {(0, 2), (0, 5)}
+
+    # single-type template = the typed edges themselves
+    single = {(r["src"], r["dst"]) for r in collapse_path(
+        spark, g, ["A"]).collect()}
+    assert single == {(0, 1)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        collapse_path(spark, g, [])
