@@ -54,14 +54,10 @@ def build_graph(spark: SparkSession, args):
         edges = spark.read.parquet(args.input)
     elif args.input_kind == "events":
         edges = ev.events_edges(spark.read.parquet(args.input))
-    else:  # transcripts (parquet path or iceberg table name)
-        reader = spark.read
-        t = (
-            reader.parquet(args.input)
-            if "/" in args.input
-            else reader.table(args.input)
-        )
-        edges = projection.transcript_edges(t)
+    else:  # transcripts (parquet path or catalog table identifier)
+        from graph_data_science_spark.sources.transcripts import read_transcripts
+
+        edges = projection.transcript_edges(read_transcripts(spark, args.input))
     edges = projection.orient(edges, args.orientation)
     return Graph(
         name="job", edges=edges, directed=args.orientation != "UNDIRECTED"
