@@ -13,6 +13,17 @@ iterationWeights-weighted sum of the per-iteration embeddings
 (defaults iterationWeights = [0.0, 1.0, 1.0],
 FastRPBaseConfig.java:43-69).
 
+Deliberate indexing deviation: the reference runs len(weights)
+propagations and weight_i multiplies the i-th PROPAGATED state
+(FastRP.java propagateEmbeddings); here weights[0] multiplies the
+INITIAL state and weights[1:] the propagations — i.e. this engine's
+[0, 1, 1] sums hops 1-2 where the reference's sums hops 2-3. Both
+are documented FastRP variants (the init term is the paper's A^0
+component); the engine's SQL oracle and fixtures pin THIS contract,
+and the reference's RNG makes value parity impossible either way.
+Callers wanting the reference's hop depths pass a leading 0 with one
+extra weight (e.g. [0, 0, 1, 1]).
+
 Determinism: the reference seeds per node (random seed + nodeId);
 here the init matrix is a closed-form splitmix64 hash of
 (seed, node id, dimension) computed with vectorized numpy inside
