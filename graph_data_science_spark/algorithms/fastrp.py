@@ -21,8 +21,10 @@ INITIAL state and weights[1:] the propagations — i.e. this engine's
 are documented FastRP variants (the init term is the paper's A^0
 component); the engine's SQL oracle and fixtures pin THIS contract,
 and the reference's RNG makes value parity impossible either way.
-Callers wanting the reference's hop depths pass a leading 0 with one
-extra weight (e.g. [0, 0, 1, 1]).
+Callers wanting the reference's hop depths pass
+``reference_iteration_semantics=True`` (which runs len(weights)
+propagations with weight_i on the i-th propagated state, exactly the
+FastRP.java:217-223 loop) — equivalent to prepending a 0 weight here.
 
 Determinism: the reference seeds per node (random seed + nodeId);
 here the init matrix is a closed-form splitmix64 hash of
@@ -94,6 +96,7 @@ def fastrp(
     node_self_influence: float = 0.0,
     property_ratio: float = 0.0,
     feature_properties: list[str] | None = None,
+    reference_iteration_semantics: bool = False,
 ) -> DataFrame:
     """(id, embedding array<float>) — deterministic FastRP embeddings.
 
@@ -116,6 +119,12 @@ def fastrp(
       feature's propertyVector is its own deterministic ±sqrt(s)
       draw (FastRP.java:176-183,382-396); structural base shrinks to
       the remaining entries.
+    * ``reference_iteration_semantics`` — index iterationWeights the
+      way FastRP.java:217-223 does: len(weights) propagations, with
+      weight_i multiplying the i-th PROPAGATED state (the initial
+      state never enters the sum except via node_self_influence).
+      Default False keeps this engine's documented contract
+      (weights[0] on the init state), which the SQL oracle pins.
     """
     weights = iteration_weights if iteration_weights is not None else [0.0, 1.0, 1.0]
     if abs(normalization_strength) > 10:
@@ -126,6 +135,10 @@ def fastrp(
         raise ValueError(
             "`iterationWeights` must not be empty if `nodeSelfInfluence` is zero."
         )
+    if reference_iteration_semantics:
+        # ref runs len(weights) propagations, weight_i on the i-th
+        # propagated state == this engine's contract with a 0 prefix
+        weights = [0.0, *weights]
     if not 0.0 <= property_ratio < 1.0:
         raise ValueError("property_ratio must be in [0, 1)")
     if property_ratio > 0.0 and not feature_properties:
@@ -282,6 +295,7 @@ def fastrp_exact(
     embedding_dim: int = 8,
     iteration_weights: list[float] | None = None,
     seed: int = 42,
+    reference_iteration_semantics: bool = False,
 ) -> DataFrame:
     """(id, pos, value) — FastRP with a closed-form two-round LCG init
     and pure JVM double arithmetic, value-reproducible in ANSI SQL.
@@ -304,8 +318,14 @@ def fastrp_exact(
     — exact in BIGINT arithmetic everywhere. This is the oracle-
     checked driver path; the numpy/Arrow :func:`fastrp` is the scale
     path (float32 kernels, checkpointed iterations).
+
+    ``reference_iteration_semantics`` mirrors :func:`fastrp`: True
+    applies weight_i to the i-th propagated state (FastRP.java:217-223)
+    by prepending a 0 weight to this engine's contract.
     """
     weights = iteration_weights if iteration_weights is not None else [0.0, 1.0, 1.0]
+    if reference_iteration_semantics:
+        weights = [0.0, *weights]
     edges = graph.view()
     verts = graph.vertices()
     s3 = math.sqrt(3.0)

@@ -91,6 +91,39 @@ def test_fastrp_extended_knobs(spark):
     g.unpersist()
 
 
+def test_fastrp_reference_iteration_semantics(spark):
+    """reference_iteration_semantics=True indexes iterationWeights the
+    FastRP.java:217-223 way (weight_i on the i-th PROPAGATED state) —
+    equivalent to this engine's contract with a prepended 0 weight."""
+    from graph_data_science_spark.algorithms.fastrp import fastrp_exact
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    g = Graph(name="frs", edges=edge_df(spark, pairs)).persist()
+
+    ref = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, g, embedding_dim=16, seed=7, iteration_weights=[1.0, 0.5],
+        reference_iteration_semantics=True).collect()}
+    eng = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, g, embedding_dim=16, seed=7,
+        iteration_weights=[0.0, 1.0, 0.5]).collect()}
+    for k in eng:
+        np.testing.assert_array_equal(ref[k], eng[k])
+    # and it genuinely differs from the engine indexing of the same list
+    native = {r["id"]: np.array(r["embedding"]) for r in fastrp(
+        spark, g, embedding_dim=16, seed=7,
+        iteration_weights=[1.0, 0.5]).collect()}
+    assert any(not np.allclose(ref[k], native[k]) for k in ref)
+
+    # same knob on the SQL-exact variant
+    a = {(r["id"], r["pos"]): r["value"] for r in fastrp_exact(
+        spark, g, embedding_dim=8, iteration_weights=[1.0],
+        reference_iteration_semantics=True).collect()}
+    b = {(r["id"], r["pos"]): r["value"] for r in fastrp_exact(
+        spark, g, embedding_dim=8, iteration_weights=[0.0, 1.0]).collect()}
+    assert a == b
+    g.unpersist()
+
+
 def test_fastrp_property_aware(spark):
     """FastRP-Extended: last dim*ratio entries derive from node
     features via per-feature random vectors; identical features +
