@@ -122,6 +122,18 @@ class GdsEngine:
         return ProcResult(graph=graph, _compute=fn, value_column=value_column)
 
     @staticmethod
+    def _min_size_filter(df: DataFrame, col: str, min_size: int | None) -> DataFrame:
+        """minCommunitySize / minComponentSize post-filter
+        (CommunityProcCompanion.java:71-103 `applySizeFilter`): nodes
+        whose community holds fewer than min_size members are dropped
+        from the result. One count per community key + one join — the
+        size table is |communities| rows, broadcast-sized in practice."""
+        if not min_size or min_size <= 1:
+            return df
+        sizes = df.groupBy(col).agg(F.count(F.lit(1)).alias("_csize"))
+        return df.join(sizes, col).where(F.col("_csize") >= min_size).drop("_csize")
+
+    @staticmethod
     def _filtered(graph: Graph, cfg: dict) -> Graph:
         """Apply the per-call nodeLabels / relationshipTypes / node-id
         filters every GDS algorithm config accepts
@@ -228,11 +240,12 @@ class GdsEngine:
     # -- community --------------------------------------------------------
     def wcc(self, graph: Graph, **cfg) -> ProcResult:
         graph = self._filtered(graph, cfg)
+        min_size = cfg.pop("min_component_size", None)
         from graph_data_science_spark.algorithms.wcc import WccConfig, wcc
 
         def run():
             res = wcc(self.spark, graph, WccConfig(**cfg))
-            return res.state, {
+            return self._min_size_filter(res.state, "component", min_size), {
                 "ran_iterations": res.ran_iterations,
                 "did_converge": res.did_converge,
             }
@@ -241,6 +254,7 @@ class GdsEngine:
 
     def label_propagation(self, graph: Graph, **cfg) -> ProcResult:
         graph = self._filtered(graph, cfg)
+        min_size = cfg.pop("min_community_size", None)
         from graph_data_science_spark.algorithms.labelprop import (
             LabelPropagationConfig,
             label_propagation,
@@ -250,7 +264,7 @@ class GdsEngine:
             res = label_propagation(
                 self.spark, graph, LabelPropagationConfig(**cfg)
             )
-            return res.state, {
+            return self._min_size_filter(res.state, "label", min_size), {
                 "ran_iterations": res.ran_iterations,
                 "did_converge": res.did_converge,
             }
@@ -259,11 +273,12 @@ class GdsEngine:
 
     def louvain(self, graph: Graph, **cfg) -> ProcResult:
         graph = self._filtered(graph, cfg)
+        min_size = cfg.pop("min_community_size", None)
         from graph_data_science_spark.algorithms.louvain import LouvainConfig, louvain
 
         def run():
             res = louvain(self.spark, graph, LouvainConfig(**cfg))
-            return res.communities, {
+            return self._min_size_filter(res.communities, "community", min_size), {
                 "modularity": res.modularity,
                 "modularities": res.modularities,
                 "levels": res.levels,

@@ -153,3 +153,22 @@ def test_random_walks_sink_truncates(spark):
         walks.groupBy("walk_id").count().collect()
     )
     assert max(r["count"] for r in by_walk) <= 3  # 0->1->2 then sink
+
+
+def test_min_component_size_filter(spark, gds):
+    # two components: {0,1,2} and {10,11}; minComponentSize=3 keeps
+    # only the triangle's nodes (CommunityProcCompanion.applySizeFilter)
+    g = gds.graph.create(
+        "minsz", edge_df(spark, [(0, 1), (1, 2), (2, 0), (10, 11)])
+    )
+    all_rows = gds.wcc(g).stream().collect()
+    assert len(all_rows) == 5
+    kept = gds.wcc(g, min_component_size=3).stream().collect()
+    assert sorted(r["id"] for r in kept) == [0, 1, 2]
+    # same knob on louvain / label propagation (minCommunitySize)
+    lp = gds.label_propagation(g, min_community_size=3).stream().collect()
+    assert len({r["id"] for r in lp}) <= 3
+    lv = gds.louvain(g, min_community_size=3).stream().collect()
+    assert sorted(r["id"] for r in lv) == [0, 1, 2]
+    # size 1 / None are no-ops
+    assert len(gds.wcc(g, min_component_size=1).stream().collect()) == 5
