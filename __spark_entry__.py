@@ -688,6 +688,18 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline.dedup.decontaminate): docs
+    with pmod(doc_id, 37) == 0 act as the held-out benchmark set, the
+    rest as the training corpus; n=3 shingles (the corpus vocabulary
+    is small, so 3-gram overlap is the meaningful signal at test SFs;
+    the operator's production default is the GPT-3-style n=13)."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(37)) == 0)
+    corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(37)) != 0)
+    return dedup.decontaminate(corpus, bench, n=3)
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs)
@@ -2447,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "exact_duplicates": _q_exact_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "decontaminate": _q_decontaminate,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
@@ -2880,6 +2893,29 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+""",
+        "decontaminate": f"""
+WITH {SHINGLES_SQL.strip()},
+bench_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS doc_ngrams FROM sh
+  WHERE doc_id % 37 <> 0 GROUP BY doc_id
+),
+matched AS (
+  SELECT s.doc_id, COUNT(*) AS matched_ngrams
+  FROM sh s JOIN bench_sh b USING (shingle)
+  WHERE s.doc_id % 37 <> 0
+  GROUP BY s.doc_id
+)
+SELECT sizes.doc_id,
+       sizes.doc_ngrams,
+       COALESCE(matched.matched_ngrams, 0) AS matched_ngrams,
+       ROUND(COALESCE(matched.matched_ngrams, 0) / sizes.doc_ngrams, 6)
+         AS contamination,
+       COALESCE(matched.matched_ngrams, 0) >= 1 AS is_contaminated
+FROM sizes LEFT JOIN matched USING (doc_id)
 """,
         "minhash_lsh_candidates": f"""
 WITH {SHINGLES_SQL.strip()},

@@ -129,6 +129,79 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    n: int = 13,
+    min_matched_ngrams: int = 1,
+) -> DataFrame:
+    """(doc_id, doc_ngrams, matched_ngrams, contamination,
+    is_contaminated) — benchmark decontamination: flag training
+    documents sharing word n-grams with an evaluation/benchmark set
+    (the GPT-3-style 13-gram overlap filter; n configurable).
+
+    contamination = matched_ngrams / doc_ngrams over the document's
+    DISTINCT shingles; is_contaminated when matched_ngrams >=
+    ``min_matched_ngrams``. Documents shorter than n tokens fall back
+    to a whole-text shingle (same rule as :func:`shingle_sets`), so a
+    short doc is contaminated only by exact text match.
+
+    100-TB shape: the benchmark side is small by construction (eval
+    sets, not corpora) — its distinct shingle set is broadcast, so
+    the corpus is matched by a map-side semi-join; the only shuffled
+    rows are the MATCHED shingles (groupBy doc_id) plus the per-doc
+    size join. No corpus self-join anywhere.
+    """
+    toks = tokens(F.col(text_col))
+    sh_arr = F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    )
+    doc_tbl = docs.select(F.col(id_col).alias("doc_id"), sh_arr.alias("_sh"))
+    # per-doc distinct-shingle count is row-local — no shuffle
+    sizes = doc_tbl.select("doc_id", F.size("_sh").alias("doc_ngrams"))
+    exploded = doc_tbl.select("doc_id", F.explode("_sh").alias("shingle"))
+    bench_sh = (
+        shingle_sets(
+            benchmark,
+            bench_text_col or text_col,
+            bench_id_col or id_col,
+            n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    matched = (
+        exploded.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched_ngrams"))
+    )
+    return (
+        sizes.join(matched, "doc_id", "left")
+        .na.fill({"matched_ngrams": 0})
+        .select(
+            "doc_id",
+            "doc_ngrams",
+            "matched_ngrams",
+            F.round(
+                F.col("matched_ngrams") / F.col("doc_ngrams").cast("double"), 6
+            ).alias("contamination"),
+            (F.col("matched_ngrams") >= F.lit(min_matched_ngrams)).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

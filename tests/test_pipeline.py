@@ -391,3 +391,33 @@ def test_node_similarity_bottomk_topn(spark, catalog):
         node_similarity(spark, g, NodeSimilarityConfig(top_k=3, bottom_k=2)).collect()
     with pytest.raises(ValueError, match="topN and bottomN"):
         node_similarity(spark, g, NodeSimilarityConfig(top_n=1, bottom_n=1)).collect()
+
+
+def test_decontaminate(spark, docs):
+    # benchmark = doc 1 ("the quick brown fox jumps over the lazy dog").
+    # doc 2 is an exact dup -> contamination 1.0; doc 3 shares all but
+    # the final-token shingles; docs 4/5 share nothing.
+    bench = docs.where(F.col("doc_id") == 1)
+    corpus = docs.where(F.col("doc_id") > 1)
+    got = {r["doc_id"]: r for r in dedup.decontaminate(
+        corpus, bench, n=3).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2]["contamination"] == pytest.approx(1.0)
+    assert got[2]["is_contaminated"] is True
+    # doc 3: 9 tokens -> 7 distinct 3-gram shingles, 6 shared (only
+    # "the lazy cat" differs)
+    assert got[3]["doc_ngrams"] == 7
+    assert got[3]["matched_ngrams"] == 6
+    assert got[4]["matched_ngrams"] == 0 and got[4]["is_contaminated"] is False
+    assert got[5]["matched_ngrams"] == 0
+    # min_matched_ngrams raises the flag threshold
+    strict = {r["doc_id"]: r["is_contaminated"] for r in dedup.decontaminate(
+        corpus, bench, n=3, min_matched_ngrams=7).collect()}
+    assert strict[2] is True and strict[3] is False
+    # short docs (< n tokens) only match on exact text
+    short_bench = spark.createDataFrame([(100, "tiny doc")], "doc_id long, text string")
+    short_corpus = spark.createDataFrame(
+        [(101, "tiny doc"), (102, "tiny dog")], "doc_id long, text string")
+    s = {r["doc_id"]: r["is_contaminated"] for r in dedup.decontaminate(
+        short_corpus, short_bench, n=13).collect()}
+    assert s[101] is True and s[102] is False
