@@ -121,12 +121,14 @@ class _LabelPropComputation(PregelComputation):
 
     def step(self, state: DataFrame, inbox: DataFrame, iteration: int) -> DataFrame:
         if self.cfg.blocks <= 1:
-            return (
-                state.join(inbox, "id", "left")
-                .withColumn("_new", F.coalesce(F.col("msg"), F.col("label")))
-                .withColumn("_halted", F.col("_new") == F.col("label"))
-                .withColumn("label", F.col("_new"))
-                .drop("msg", "_new")
+            # one flat select — withColumn chains re-analyze the plan
+            # per call, a per-superstep driver cost the loop repeats
+            new = F.coalesce(F.col("msg"), F.col("label"))
+            return state.join(inbox, "id", "left").select(
+                "id",
+                new.alias("label"),
+                "node_weight",
+                (new == F.col("label")).alias("_halted"),
             )
         # block Gauss-Seidel: evens adopt phase-1 winners...
         half1 = (

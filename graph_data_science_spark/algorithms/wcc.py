@@ -65,25 +65,31 @@ class _WccComputation(PregelComputation):
         )
 
     def step(self, state: DataFrame, inbox: DataFrame, iteration: int) -> DataFrame:
-        st = (
-            state.join(inbox, "id", "left")
-            .withColumn("_new", F.least(F.col("component"), F.coalesce(F.col("msg"), F.col("component"))))
-            .drop("msg")
+        # flat selects (no withColumn chains): per-superstep plan
+        # re-analysis is the dominant driver-side cost of the loop
+        st = state.join(inbox, "id", "left").select(
+            "id",
+            "component",
+            F.least(
+                F.col("component"), F.coalesce(F.col("msg"), F.col("component"))
+            ).alias("_new"),
         )
         if self.cfg.path_doubling:
             # pointer-doubling shortcut: learn the label of my label
             labels = st.select(
                 F.col("id").alias("_lid"), F.col("_new").alias("_llabel")
             )
-            st = (
-                st.join(labels, st._new == labels._lid, "left")
-                .withColumn("_new", F.least(F.col("_new"), F.coalesce(F.col("_llabel"), F.col("_new"))))
-                .drop("_lid", "_llabel")
+            st = st.join(labels, st._new == labels._lid, "left").select(
+                "id",
+                "component",
+                F.least(
+                    F.col("_new"), F.coalesce(F.col("_llabel"), F.col("_new"))
+                ).alias("_new"),
             )
-        return (
-            st.withColumn("_halted", ~(F.col("_new") < F.col("component")))
-            .withColumn("component", F.col("_new"))
-            .drop("_new")
+        return st.select(
+            "id",
+            F.col("_new").alias("component"),
+            (~(F.col("_new") < F.col("component"))).alias("_halted"),
         )
 
 

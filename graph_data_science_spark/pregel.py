@@ -311,14 +311,19 @@ class PregelRunner:
             # spread each hub's fan-in across salt_buckets reducer keys;
             # sum/min/max are associative+commutative so the two-phase
             # combine is exact regardless of row-to-bucket assignment
-            partial = messages.withColumn(
-                "_salt",
-                F.pmod(F.monotonically_increasing_id(), F.lit(self.salt_buckets)),
-            )
-            first = partial.groupBy("dst", "_salt").agg(agg("msg").alias("msg"))
+            first = messages.groupBy(
+                "dst",
+                F.pmod(F.monotonically_increasing_id(), F.lit(self.salt_buckets)).alias(
+                    "_salt"
+                ),
+            ).agg(agg("msg").alias("msg"))
             final_fn = F.sum if reducer == "sum" else agg
-            return first.groupBy("dst").agg(final_fn("msg").alias("msg"))
-        return messages.groupBy("dst").agg(agg("msg").alias("msg"))
+            return first.groupBy(F.col("dst").alias("id")).agg(
+                final_fn("msg").alias("msg")
+            )
+        # alias dst -> id inside the groupBy: one less plan re-analysis
+        # per superstep vs a trailing withColumnRenamed
+        return messages.groupBy(F.col("dst").alias("id")).agg(agg("msg").alias("msg"))
 
     # -- main loop ---------------------------------------------------------
     def run(
@@ -404,9 +409,7 @@ class PregelRunner:
                     messages, computation.queue_size
                 ).withColumnRenamed("dst", "id")
             else:
-                inbox = self._reduce(messages, computation.reducer).withColumnRenamed(
-                    "dst", "id"
-                )
+                inbox = self._reduce(messages, computation.reducer)  # keyed as id
             new_state = computation.step(state, inbox, iteration)
             new_state, master_converged = computation.master_compute(
                 new_state, iteration
