@@ -66,10 +66,8 @@ def hits(
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("_hub"))
         )
-        state = (
-            state.join(hub_msgs, "id", "left")
-            .withColumn("hub", F.coalesce(F.col("_hub"), F.lit(0.0)))
-            .drop("_hub")
+        state = state.join(hub_msgs, "id", "left").select(
+            "id", "auth", F.coalesce(F.col("_hub"), F.lit(0.0)).alias("hub")
         )
         state = _l2_normalize(state, "hub")
         # auth(v) = sum of normalized hub over v's in-neighbors
@@ -81,8 +79,11 @@ def hits(
         )
         state = (
             state.join(auth_msgs, "id", "left")
-            .withColumn("auth", F.coalesce(F.col("_auth"), F.lit(0.0)))
-            .drop("_auth")
+            .select(
+                "id",
+                F.coalesce(F.col("_auth"), F.lit(0.0)).alias("auth"),
+                "hub",
+            )
             .localCheckpoint(eager=True)
         )
         _free_local_checkpoint(prev)  # superseded round snapshot

@@ -196,10 +196,12 @@ class _EigenvectorComputation(PregelComputation):
         return joined.select(F.col("dst"), msg.alias("msg"))
 
     def step(self, state: DataFrame, inbox: DataFrame, iteration: int) -> DataFrame:
-        return (
-            state.join(inbox, "id", "left")
-            .withColumn("next", F.col("rank") + F.coalesce(F.col("msg"), F.lit(0.0)))
-            .drop("msg")
+        return state.join(inbox, "id", "left").select(
+            "id",
+            "denom",
+            (F.col("rank") + F.coalesce(F.col("msg"), F.lit(0.0))).alias("next"),
+            "_halted",
+            "rank",
         )
 
     def master_compute(self, state: DataFrame, iteration: int) -> tuple[DataFrame, bool]:
