@@ -52,7 +52,7 @@ from graph_data_science_spark.algorithms.triangle import (
 from graph_data_science_spark.algorithms.wcc import WccConfig, wcc
 from graph_data_science_spark.catalog import Graph
 from graph_data_science_spark.functions.scalers import scale_property
-from graph_data_science_spark.pipeline import ann, dedup, sessions, text
+from graph_data_science_spark.pipeline import ann, dedup, sampling, sessions, text
 from graph_data_science_spark.sources import events as ev
 
 # fixed superstep counts for the oracle-checked runs
@@ -698,6 +698,35 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.pmod(F.col("doc_id"), F.lit(37)) == 0)
     corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(37)) != 0)
     return dedup.decontaminate(corpus, bench, n=3)
+
+
+def _docs_with_token_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.pipeline.text import token_count
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Res priority sample of 50 docs, weight = token count
+    (pipeline.sampling.weighted_sample) — deterministic, SQL-exact."""
+    d = _docs_with_token_weight(spark, sf_dir)
+    out = sampling.weighted_sample(d, "n_tokens", n=50)
+    return out.select(
+        "doc_id", "n_tokens", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
+def _q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-ordered selection to a 10k-token budget
+    (pipeline.sampling.sample_to_token_budget, two-phase threshold)."""
+    d = _docs_with_token_weight(spark, sf_dir)
+    out = sampling.sample_to_token_budget(
+        d, 10_000, weight_col="n_tokens", token_col="n_tokens"
+    )
+    return out.select("doc_id", F.col("cum_tokens").cast("long").alias("cum_tokens"))
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2460,6 +2489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "decontaminate": _q_decontaminate,
+        "weighted_sample": _q_weighted_sample,
+        "sample_token_budget": _q_sample_token_budget,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
@@ -2893,6 +2924,52 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+""",
+        "weighted_sample": rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_tokens,
+         ((doc_id % 2147483648) * 2654435761 + 42*40503 + 12345) % 2147483648 AS a
+  FROM t
+),
+k3 AS (
+  SELECT doc_id, n_tokens,
+         ln(((((a*a) % 2147483648) * 1103515245 + a) % 2147483648 + 1.0)
+            / 2147483648) / n_tokens AS key
+  FROM k
+)
+SELECT doc_id, n_tokens, ROUND(key, 6) AS sample_key
+FROM k3 ORDER BY key DESC, doc_id LIMIT 50
+""",
+        "sample_token_budget": rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_tokens,
+         ((doc_id % 2147483648) * 2654435761 + 42*40503 + 12345) % 2147483648 AS a
+  FROM t
+),
+k3 AS (
+  SELECT doc_id, n_tokens,
+         ln(((((a*a) % 2147483648) * 1103515245 + a) % 2147483648 + 1.0)
+            / 2147483648) / n_tokens AS key
+  FROM k
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY key DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rn
+  FROM k3
+)
+SELECT doc_id, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 10000 OR rn = 1
 """,
         "decontaminate": f"""
 WITH {SHINGLES_SQL.strip()},

@@ -1,0 +1,162 @@
+"""Deterministic weighted corpus sampling for training-data pipelines.
+
+Two operators over a document table:
+
+* :func:`weighted_sample` — sample ``n`` documents WITHOUT replacement
+  with probability proportional to a weight column (quality score,
+  token count, ...), via A-Res priority sampling (Efraimidis &
+  Spirakis 2006): each doc draws u in (0,1] and gets priority key
+  ln(u)/w (monotone in u^(1/w)); the n LARGEST keys are the sample.
+  The draw is a closed-form two-round LCG of (doc_id, seed) — the
+  same integer-exact device as fastrp_exact — so the sample is
+  deterministic, partition-independent, and reproducible in ANSI SQL.
+
+* :func:`sample_to_token_budget` — take documents in priority order
+  until a global token budget is filled (the "subsample the corpus to
+  N training tokens" step). The selection rule is the global
+  cumulative token sum over (key desc, doc_id) order; the
+  implementation is the 100-TB two-phase shape: bucketize keys,
+  aggregate token sums per bucket (one tiny shuffle), pick the
+  threshold bucket on the driver, then run the exact cumulative
+  window ONLY inside the boundary bucket — the global sort/window
+  never materializes.
+
+Weights must be > 0 to participate; rows with weight <= 0 or NULL are
+excluded (same convention as GDS weighted degree, which sums only
+positive weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_M31 = 2**31
+
+
+def _uniform(id_col: str, seed: int):
+    """u in (0, 1]: LCG rounds with one SQUARING round on the id,
+    integer-exact in BIGINT arithmetic (every intermediate < 2^62 —
+    ids reduced mod 2^31 before multiplying, and a*a < 2^62 — so no
+    silent wraparound anywhere). The squaring makes the draw
+    NONLINEAR in the seed: a purely affine LCG shifts every doc's u
+    by a near-constant when the seed changes, leaving rankings
+    almost intact; a*a decorrelates seeds properly."""
+    a = F.pmod(
+        F.pmod(F.col(id_col), F.lit(_M31)) * F.lit(2654435761)
+        + F.lit(seed * 40503 + 12345),
+        F.lit(_M31),
+    )
+    b = F.pmod(a * a, F.lit(_M31))
+    c = F.pmod(b * F.lit(1103515245) + a, F.lit(_M31))
+    return (c.cast("double") + F.lit(1.0)) / F.lit(float(_M31))
+
+
+def _keyed(
+    df: DataFrame, weight_col: str, id_col: str, seed: int
+) -> DataFrame:
+    key = F.log(_uniform(id_col, seed)) / F.col(weight_col)
+    return df.where(F.col(weight_col) > 0).withColumn("sample_key", key)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The n input rows with the largest A-Res priority keys, plus the
+    ``sample_key`` column. orderBy().limit(n) plans as TakeOrdered —
+    per-partition top-n then a single merge of n*parts rows, never a
+    global sort — so the operator holds at any corpus size where n
+    fits on the driver-adjacent merge (the standard top-k contract).
+    """
+    return (
+        _keyed(df, weight_col, id_col, seed)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(n)
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    token_budget: int,
+    weight_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Documents in priority order (key desc, id asc) whose running
+    token total stays within ``token_budget``; the first document is
+    always taken even if it alone exceeds the budget (so the result
+    is non-empty whenever the input is).
+
+    Selection rule == the naive global cumulative-sum window; plan ==
+    two-phase threshold: per-bucket token totals (one |buckets|-row
+    aggregate), driver picks the boundary bucket, exact window only
+    over that bucket's rows. Keys are ln(u)/w <= 0; bucket =
+    floor(-key * n_buckets / span) computed from the observed key
+    range so the histogram adapts to the weight scale.
+    """
+    keyed = _keyed(df, weight_col, id_col, seed).persist()
+    try:
+        bounds = keyed.agg(
+            F.min("sample_key").alias("lo"), F.max("sample_key").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return keyed.withColumn("cum_tokens", F.col(token_col).cast("long"))
+        lo, hi = float(bounds["lo"]), float(bounds["hi"])
+        span = (hi - lo) or 1.0
+        # bucket 0 = highest keys (sampled first)
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.lit(hi) - F.col("sample_key")) / F.lit(span) * n_buckets),
+        ).cast("int")
+        b = keyed.withColumn("_bkt", bucket)
+        per_bucket = (
+            b.groupBy("_bkt")
+            .agg(F.sum(F.col(token_col).cast("long")).alias("_toks"))
+            .orderBy("_bkt")
+            .collect()
+        )
+        run, boundary = 0, None
+        for r in per_bucket:
+            if run + r["_toks"] > token_budget:
+                boundary = r["_bkt"]
+                break
+            run += r["_toks"]
+        if boundary is None:
+            # whole corpus fits the budget
+            w = Window.orderBy(F.desc("sample_key"), F.asc(id_col)).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            return b.select(
+                df.columns + [F.col("sample_key")]
+            ).withColumn("cum_tokens", F.sum(F.col(token_col).cast("long")).over(w))
+        whole = b.where(F.col("_bkt") < boundary)
+        # exact pass over the boundary bucket only — its row count is
+        # ~|corpus|/n_buckets, the single-partition window is bounded
+        w = Window.orderBy(F.desc("sample_key"), F.asc(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        edge = (
+            b.where(F.col("_bkt") == boundary)
+            .withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
+            .where(
+                (F.col("_cum") + F.lit(run) <= token_budget)
+                # first-doc guarantee when even doc #1 busts the budget
+                | ((F.lit(run) == 0) & (F.col("_cum") == F.col(token_col).cast("long")))
+            )
+            .drop("_cum")
+        )
+        picked = whole.unionByName(edge)
+        wofull = Window.orderBy(F.desc("sample_key"), F.asc(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return picked.select(df.columns + [F.col("sample_key")]).withColumn(
+            "cum_tokens", F.sum(F.col(token_col).cast("long")).over(wofull)
+        )
+    finally:
+        keyed.unpersist()

@@ -1,0 +1,95 @@
+"""Weighted corpus sampling (pipeline/sampling.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.pipeline.sampling import (
+    _M31,
+    sample_to_token_budget,
+    weighted_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, float(1 + (i % 5)), 10 * (1 + i % 3)) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, quality double, tokens int")
+
+
+def _key(doc_id: int, w: float, seed: int = 42) -> float:
+    a = ((doc_id % _M31) * 2654435761 + seed * 40503 + 12345) % _M31
+    b = (a * a) % _M31
+    c = (b * 1103515245 + a) % _M31
+    u = (c + 1.0) / _M31
+    return math.log(u) / w
+
+
+def test_weighted_sample_matches_reference_ranking(spark, corpus):
+    got = weighted_sample(corpus, "quality", n=10).collect()
+    assert len(got) == 10
+    expect = sorted(
+        ((_key(i, float(1 + (i % 5))), i) for i in range(40)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [r["doc_id"] for r in got] == [i for _, i in expect]
+    for r in got:
+        assert r["sample_key"] == pytest.approx(_key(r["doc_id"], r["quality"]))
+
+
+def test_weighted_sample_determinism_and_seed(spark, corpus):
+    a = [r["doc_id"] for r in weighted_sample(corpus, "quality", n=8).collect()]
+    b = [r["doc_id"] for r in weighted_sample(corpus, "quality", n=8).collect()]
+    assert a == b
+    c = [r["doc_id"] for r in weighted_sample(corpus, "quality", n=8, seed=7).collect()]
+    assert a != c
+
+
+def test_weighted_sample_bias_toward_heavy_weights(spark):
+    # weight 100 vs 1: the heavy half dominates any sizeable sample
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, "w", n=20).collect()]
+    assert sum(1 for i in got if i < 50) >= 17
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    rows = [(1, 0.0), (2, -1.0), (3, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, "w", n=3).collect()]
+    assert got == [3]
+
+
+def test_token_budget_matches_naive_cumsum(spark, corpus):
+    budget = 300
+    got = sample_to_token_budget(
+        corpus, budget, weight_col="quality", token_col="tokens"
+    ).collect()
+    # naive: order all docs by (key desc, id), take while cum <= budget
+    ordered = sorted(
+        ((i, _key(i, float(1 + (i % 5))), 10 * (1 + i % 3)) for i in range(40)),
+        key=lambda t: (-t[1], t[0]),
+    )
+    cum, expect = 0, []
+    for i, _, toks in ordered:
+        if cum + toks > budget:
+            break
+        cum += toks
+        expect.append((i, cum))
+    assert sorted((r["doc_id"], r["cum_tokens"]) for r in got) == sorted(expect)
+    assert max(r["cum_tokens"] for r in got) <= budget
+
+
+def test_token_budget_first_doc_guarantee(spark):
+    df = spark.createDataFrame([(1, 1.0, 1000), (2, 1.0, 1000)], "doc_id long, w double, tokens int")
+    got = sample_to_token_budget(df, 10, weight_col="w", token_col="tokens").collect()
+    assert len(got) == 1  # the top-priority doc alone, despite busting the budget
+
+
+def test_token_budget_whole_corpus_fits(spark, corpus):
+    got = sample_to_token_budget(
+        corpus, 10**9, weight_col="quality", token_col="tokens"
+    ).collect()
+    assert len(got) == 40
+    assert max(r["cum_tokens"] for r in got) == sum(10 * (1 + i % 3) for i in range(40))
