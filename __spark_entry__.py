@@ -729,6 +729,22 @@ def _q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("cum_tokens").cast("long").alias("cum_tokens"))
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample: top 10 priority keys per `lang`
+    (pipeline.sampling.stratified_sample), weight = token count."""
+    from graph_data_science_spark.pipeline.text import token_count
+
+    docs = ev.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = sampling.stratified_sample(
+        docs, "n_tokens", strata_col="lang", n_per_stratum=10
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs)
@@ -2491,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "weighted_sample": _q_weighted_sample,
         "sample_token_budget": _q_sample_token_budget,
+        "stratified_sample": _q_stratified_sample,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
@@ -2944,6 +2961,31 @@ k3 AS (
 )
 SELECT doc_id, n_tokens, ROUND(key, 6) AS sample_key
 FROM k3 ORDER BY key DESC, doc_id LIMIT 50
+""",
+        "stratified_sample": rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+k AS (
+  SELECT doc_id, lang, n_tokens,
+         ((doc_id % 2147483648) * 2654435761 + 42*40503 + 12345) % 2147483648 AS a
+  FROM t
+),
+k3 AS (
+  SELECT doc_id, lang, n_tokens,
+         ln(((((a*a) % 2147483648) * 1103515245 + a) % 2147483648 + 1.0)
+            / 2147483648) / n_tokens AS key
+  FROM k
+),
+r AS (
+  SELECT doc_id, lang, n_tokens, key,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+  FROM k3
+)
+SELECT doc_id, lang, n_tokens, ROUND(key, 6) AS sample_key
+FROM r WHERE rn <= 10
 """,
         "sample_token_budget": rf"""
 WITH t AS (

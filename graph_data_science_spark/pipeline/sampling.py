@@ -79,6 +79,31 @@ def weighted_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    weight_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum A-Res weighted sample: the ``n_per_stratum`` rows
+    with the largest priority keys WITHIN each value of
+    ``strata_col`` (the per-language / per-domain quota sampler).
+    One shuffle keyed by the stratum; the per-stratum top-n runs as a
+    rank window inside each partition — hot strata are bounded by the
+    window's streaming top-n, not a sort of the whole corpus."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("sample_key"), F.asc(id_col)
+    )
+    return (
+        _keyed(df, weight_col, id_col, seed)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     token_budget: int,

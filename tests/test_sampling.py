@@ -93,3 +93,22 @@ def test_token_budget_whole_corpus_fits(spark, corpus):
     ).collect()
     assert len(got) == 40
     assert max(r["cum_tokens"] for r in got) == sum(10 * (1 + i % 3) for i in range(40))
+
+
+def test_stratified_sample_quota_and_ranking(spark):
+    from graph_data_science_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de", float(1 + i % 4)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    got = stratified_sample(df, "w", strata_col="lang", n_per_stratum=5).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_lang.values()) == [5, 5]
+    # per-stratum top-5 matches the pure-python priority ranking
+    for lang, parity in (("en", 0), ("de", 1)):
+        expect = sorted(
+            ((_key(i, float(1 + i % 4)), i) for i in range(30) if i % 2 == parity),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert sorted(by_lang[lang]) == sorted(i for _, i in expect)
