@@ -342,6 +342,16 @@ tcount AS (
 
 DOC_TOKENS = r"list_filter(regexp_split_to_array({col}, '\s+'), x -> x <> '')"
 
+
+def _pii_redact_sql(col: str) -> str:
+    """Nested regexp_replace mirroring text.pii_scrub's sequential
+    redaction, built from the same PII_PATTERNS so the oracle can't
+    drift from the operator."""
+    expr = col
+    for _, pat, token in text.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
 SHINGLES_SQL = r"""
 dtoks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -766,6 +776,58 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.load_table(spark, sf_dir, "documents")
     return dedup.dedup_clusters(docs)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (pipeline.text.pii_scrub). The
+    synthetic corpus is PII-free, so deterministic PII is injected
+    from doc_id (email + IP on every doc, phone on doc_id%3==0, SSN
+    on doc_id%5==0) identically in the SQL oracle — parity is checked
+    on non-trivial match counts and on the full redacted text."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+            F.concat(
+                F.lit("10.0."),
+                F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+                F.lit(".7"),
+            ),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("call 555-867-5309")
+            ),
+            F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit("ssn 123-45-6789")),
+        ).alias("text"),
+    )
+    out = text.pii_scrub(with_pii)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features (pipeline.text.repetition_stats):
+    distinct-word ratio, top-word coverage, top-bigram coverage."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (pipeline.text.chunk_documents):
+    max_tokens=40, overlap=8 (stride 32) — small windows so the test
+    corpus (~60-120 tokens/doc) produces multi-chunk documents."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, max_tokens=40, overlap=8)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2505,6 +2567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "doc_chunks": _q_doc_chunks,
         "weighted_sample": _q_weighted_sample,
         "sample_token_budget": _q_sample_token_budget,
         "stratified_sample": _q_stratified_sample,
@@ -3035,6 +3100,85 @@ SELECT sizes.doc_id,
          AS contamination,
        COALESCE(matched.matched_ngrams, 0) >= 1 AS is_contaminated
 FROM sizes LEFT JOIN matched USING (doc_id)
+""",
+        "pii_scrub": f"""
+WITH t AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+           '10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7',
+           CASE WHEN doc_id % 3 = 0 THEN 'call 555-867-5309' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       {", ".join(
+           f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{kind}"
+           for kind, pat, _ in text.PII_PATTERNS
+       )},
+       md5({_pii_redact_sql("text")}) AS redacted_md5
+FROM t
+""",
+        "repetition_stats": f"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='text')} AS toks FROM documents
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+  GROUP BY doc_id, word
+),
+wa AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top_w
+  FROM wc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t WHERE len(toks) >= 2
+  )
+  GROUP BY doc_id, bigram
+),
+ba AS (SELECT doc_id, MAX(c) AS top_b FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(wa.n_words, 0) AS BIGINT) AS n_words,
+       ROUND(CASE WHEN COALESCE(wa.n_words, 0) > 0
+                  THEN CAST(wa.n_distinct AS DOUBLE) / CAST(wa.n_words AS DOUBLE)
+                  ELSE 0.0 END, 4) AS distinct_word_ratio,
+       ROUND(CASE WHEN COALESCE(wa.n_words, 0) > 0
+                  THEN CAST(wa.top_w AS DOUBLE) / CAST(wa.n_words AS DOUBLE)
+                  ELSE 0.0 END, 4) AS top_word_frac,
+       ROUND(CASE WHEN COALESCE(wa.n_words, 0) >= 2
+                  THEN CAST(COALESCE(ba.top_b, 0) AS DOUBLE)
+                       / CAST(wa.n_words - 1 AS DOUBLE)
+                  ELSE 0.0 END, 4) AS top_bigram_frac
+FROM documents d LEFT JOIN wa USING (doc_id) LEFT JOIN ba USING (doc_id)
+""",
+        "doc_chunks": f"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='text')} AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 0 THEN 0
+              WHEN len(toks) <= 40 THEN 1
+              ELSE CAST((len(toks) - 40 + 31) // 32 AS INTEGER) + 1 END AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx
+  FROM n WHERE n_chunks > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 40))
+            AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 40),
+                       ' ') AS chunk_text
+FROM c
 """,
         "minhash_lsh_candidates": f"""
 WITH {SHINGLES_SQL.strip()},

@@ -121,6 +121,170 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: PII patterns, applied in list order for redaction. RE2-compatible
+#: (no lookarounds, ASCII \d / \b) so the DuckDB oracle reproduces
+#: match-for-match. SSN before phone: the phone pattern's digit-group
+#: shape (3-3-4 with separators) can't match an already-redacted SSN,
+#: but keeping a fixed order makes the sequential-replace semantics
+#: explicit and oracle-replicable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII detection + redaction -> (…, n_<kind>…, redacted).
+
+    Per-kind match counts are taken on the ORIGINAL text (each pattern
+    independent, non-overlapping left-to-right matches); `redacted`
+    applies the replacements sequentially in PII_PATTERNS order. Pure
+    JVM regexp (whole-stage codegen), no Python in the path — the
+    standard pre-training scrub pass. Patterns are deliberately
+    lookaround-free so the same strings run under Java regex (Spark)
+    and RE2 (DuckDB oracle) with identical match sets.
+    """
+    text = F.col(text_col)
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(text, F.lit(pat)))
+    red = text
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition features per document.
+
+    (id, n_words, distinct_word_ratio, top_word_frac, top_bigram_frac):
+    the fraction of tokens that are distinct, the coverage of the most
+    frequent token, and the coverage of the most frequent word bigram
+    (count / (n_words - 1)) — the core repetition signals of the
+    Gopher quality rules (Rae et al. 2021 §A1.1). Zero-token docs get
+    0.0 ratios; single-token docs get top_bigram_frac 0.0.
+
+    Scale shape: explode -> two-level groupBy (map-side partial agg)
+    rather than per-row O(distinct x tokens) array scans, so very long
+    documents cost O(tokens) and the shuffle keys on (id, word) — no
+    driver-side work, no Python.
+    """
+    toks = tokens(F.col(text_col))
+    t = df.select(F.col(id_col), toks.alias("_toks"))
+    words = t.select(id_col, F.explode("_toks").alias("_w"))
+    word_agg = (
+        words.groupBy(id_col, "_w")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.count("*").alias("_distinct"),
+            F.max("_c").alias("_top_w"),
+        )
+    )
+    bigrams = t.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_b"),
+    )
+    bigram_agg = (
+        bigrams.groupBy(id_col, "_b")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top_b"))
+    )
+    spine = df.select(id_col)
+    joined = spine.join(word_agg, id_col, "left").join(bigram_agg, id_col, "left")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.when(n_words > 0, F.col("_distinct").cast("double") / n_words).otherwise(
+                0.0
+            ),
+            4,
+        ).alias("distinct_word_ratio"),
+        F.round(
+            F.when(n_words > 0, F.col("_top_w").cast("double") / n_words).otherwise(
+                0.0
+            ),
+            4,
+        ).alias("top_word_frac"),
+        F.round(
+            F.when(
+                n_words >= 2,
+                F.coalesce(F.col("_top_b"), F.lit(0)).cast("double") / (n_words - 1),
+            ).otherwise(0.0),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows ->
+    (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Chunk k covers tokens [k*stride+1, k*stride+max_tokens] (1-based,
+    stride = max_tokens - overlap); the last chunk is the first one
+    whose window reaches the end of the document, so every token lands
+    in >=1 chunk and consecutive chunks share exactly `overlap` tokens
+    (except a shorter final chunk). n_chunks is pure integer
+    arithmetic — ((n - max_tokens + stride - 1) / stride) + 1 when the
+    doc overflows one window — so the DuckDB oracle matches exactly.
+    Zero-token docs produce zero chunks. All array exprs + one explode:
+    JVM-side, codegen'd, and the explode fan-out keeps rows ~max_tokens
+    sized regardless of input document length (the point at 100 TB:
+    downstream shuffles see bounded row widths).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= max_tokens, F.lit(1)).otherwise(
+            ((n - max_tokens + stride - 1) / stride).cast("int") + 1
+        )
+    )
+    t = df.select(F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc"))
+    chunk = t.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_nc") > 0, F.sequence(F.lit(0), F.col("_nc") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_idx"),
+        F.col("_toks"),
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, max_tokens)
+    return chunk.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(window).alias("n_chunk_tokens"),
+        F.concat_ws(" ", window).alias("chunk_text"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """(…, fingerprint) — min md5 over word n-gram shingles.
 

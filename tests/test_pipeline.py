@@ -421,3 +421,76 @@ def test_decontaminate(spark, docs):
     s = {r["doc_id"]: r["is_contaminated"] for r in dedup.decontaminate(
         short_corpus, short_bench, n=13).collect()}
     assert s[101] is True and s[102] is False
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail bob.smith@corp.example.com or call 555-867-5309 today"),
+        (2, "ssn 123-45-6789 leaked from host 192.168.1.100 twice: 10.0.3.7"),
+        (3, "clean text with no pii at all"),
+        (4, "intl +1 (212) 555-0199 and a@b.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["redacted"] == "mail <EMAIL> or call <PHONE> today"
+    assert got[2]["n_ssn"] == 1 and got[2]["n_ipv4"] == 2
+    assert got[2]["redacted"] == "ssn <SSN> leaked from host <IP> twice: <IP>"
+    assert got[3]["redacted"] == got[3]["text"]
+    assert all(got[3][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4"))
+    assert got[4]["n_phone"] == 1 and got[4]["n_email"] == 1
+    assert got[4]["redacted"] == "intl <PHONE> and <EMAIL>"
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "spam spam spam spam"),          # 1 distinct word, 1 distinct bigram
+        (2, "a b a b a"),                    # top word a:3/5, top bigram "a b":2/4
+        (3, "all words here are distinct"),  # no repetition
+        (4, ""),                             # zero tokens
+        (5, "solo"),                         # one token -> no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert got[1]["n_words"] == 4
+    assert got[1]["distinct_word_ratio"] == 0.25
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["top_word_frac"] == 0.6
+    assert got[2]["top_bigram_frac"] == 0.5
+    assert got[3]["distinct_word_ratio"] == 1.0
+    assert got[3]["top_bigram_frac"] == 0.25  # every bigram unique: 1/4
+    assert got[4]["n_words"] == 0 and got[4]["top_word_frac"] == 0.0
+    assert got[5]["n_words"] == 1 and got[5]["top_bigram_frac"] == 0.0
+
+
+def test_chunk_documents(spark):
+    words = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")], "doc_id long, text string"
+    )
+    out = text.chunk_documents(df, max_tokens=4, overlap=1)  # stride 3
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    # doc 1: 10 tokens, chunks start at 1,4,7 -> [w1..w4][w4..w7][w7..w10]
+    assert sorted(got[1]) == [0, 1, 2]
+    assert got[1][0]["chunk_text"] == "w1 w2 w3 w4"
+    assert got[1][1]["chunk_text"] == "w4 w5 w6 w7"
+    assert got[1][2]["chunk_text"] == "w7 w8 w9 w10"
+    assert got[1][2]["n_chunk_tokens"] == 4
+    # consecutive chunks share exactly `overlap` tokens
+    assert got[1][0]["chunk_text"].split()[-1] == got[1][1]["chunk_text"].split()[0]
+    # doc 2 fits one window; doc 3 has zero tokens -> zero chunks
+    assert sorted(got[2]) == [0] and got[2][0]["chunk_text"] == "short doc"
+    assert 3 not in got
+    # 11 tokens / stride 3: last window [10..13] clipped to 2 tokens
+    df11 = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    rows = {r["chunk_idx"]: r for r in
+            text.chunk_documents(df11, max_tokens=4, overlap=1).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[3]["n_chunk_tokens"] == 2 and rows[3]["chunk_text"] == "t9 t10"
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, max_tokens=4, overlap=4)
