@@ -830,6 +830,32 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (pipeline.sampling.mix_corpus): downsample to a
+    40/30/20/10 token mixture over src0..src3 (other sources
+    dropped); deterministic LCG acceptance — value-exact in SQL."""
+    from graph_data_science_spark.pipeline.text import token_count
+
+    docs = ev.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = sampling.mix_corpus(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        weight_col="n_tokens",
+        seed=11,
+    )
+    return out.select("doc_id", "source", "accept_rate")
+
+
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 per-vector quantization
+    (pipeline.ann.quantize_embeddings): scale, codes, reconstruction
+    MSE — all left-fold float64, value-exact in SQL."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.quantize_embeddings(emb)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs)
@@ -2570,6 +2596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "doc_chunks": _q_doc_chunks,
+        "mix_corpus": _q_mix_corpus,
+        "quantize_embeddings": _q_quantize_embeddings,
         "weighted_sample": _q_weighted_sample,
         "sample_token_budget": _q_sample_token_budget,
         "stratified_sample": _q_stratified_sample,
@@ -3179,6 +3207,65 @@ SELECT doc_id,
        array_to_string(list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 40),
                        ' ') AS chunk_text
 FROM c
+""",
+        "mix_corpus": rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0
+),
+tw AS (
+  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1))
+  v(source, share)
+),
+m AS (
+  SELECT source, CAST(SUM(w) AS DOUBLE) AS mass FROM t GROUP BY source
+),
+n AS (SELECT MIN(mass / share) AS nmax FROM m JOIN tw USING (source)),
+r AS (
+  SELECT m.source, tw.share * n.nmax / m.mass AS rate
+  FROM m JOIN tw USING (source), n
+),
+u AS (
+  SELECT doc_id, source,
+         ((doc_id % 2147483648) * 2654435761 + 11*40503 + 12345) % 2147483648 AS a
+  FROM t
+)
+SELECT u.doc_id, u.source, ROUND(r.rate, 6) AS accept_rate
+FROM u JOIN r USING (source)
+WHERE ((((a*a) % 2147483648) * 1103515245 + a) % 2147483648 + 1.0) / 2147483648
+      <= r.rate
+""",
+        "quantize_embeddings": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(LEAST(GREATEST(round(x / scale, 0), -127.0),
+                                           127.0) AS INTEGER)) AS q
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 8) AS scale,
+       array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q_csv,
+       ROUND(CASE WHEN len(v) > 0 THEN
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(v) + 1),
+                            i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))),
+           (a, b) -> a + b) / len(v)
+         ELSE 0.0 END, 10) AS mse
+FROM q
 """,
         "minhash_lsh_candidates": f"""
 WITH {SHINGLES_SQL.strip()},

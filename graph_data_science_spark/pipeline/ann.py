@@ -453,3 +453,52 @@ def cosine_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding
+    column -> (id, scale, q_csv, mse).
+
+    The storage-compression step of a 100-TB embedding pipeline:
+    scale = max|x| / qmax (qmax = 2^(bits-1) - 1, e.g. 127 for int8),
+    q_i = clamp(round(x_i / scale), -qmax, qmax). `q_csv` is the
+    quantized vector as a comma-joined string (engine-portable value
+    representation), `mse` the reconstruction error
+    mean((x - q*scale)^2), accumulated left-to-right in float64 so
+    the DuckDB oracle reproduces it bit-for-bit. Zero vectors get
+    scale 1.0 and all-zero codes. Pure JVM array exprs — codegen'd,
+    no Python, no shuffle.
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError("bits must be in [2, 16]")
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(max_abs > 0, max_abs / F.lit(qmax)).otherwise(F.lit(1.0))
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(F.round(x / scale, 0), F.lit(-qmax)), F.lit(qmax)
+        ).cast("int"),
+    )
+    err = F.zip_with(
+        v,
+        q,
+        lambda x, qi: (x - qi.cast("double") * scale)
+        * (x - qi.cast("double") * scale),
+    )
+    mse = F.when(
+        F.size(v) > 0,
+        F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / F.size(v),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 8).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q_csv"),
+        F.round(mse, 10).alias("mse"),
+    )

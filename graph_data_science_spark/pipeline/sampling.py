@@ -185,3 +185,69 @@ def sample_to_token_budget(
         )
     finally:
         keyed.unpersist()
+
+
+def mix_corpus(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic downsampling to a target source mixture (the
+    Pile/DoReMi-style "data mixing" step of a training pipeline).
+
+    ``targets`` maps source -> desired share of the OUTPUT corpus,
+    measured in ``weight_col`` mass (tokens, chars, ...) or doc count
+    when ``weight_col`` is None; shares are normalized to sum to 1.
+    Sources absent from ``targets`` are dropped. No upsampling: the
+    output is sized to the binding source — N = min_s T_s / w_s with
+    T_s the current mass of source s — giving per-source acceptance
+    rate r_s = w_s * N / T_s <= 1 (the binding source keeps
+    everything). A document is kept when its deterministic LCG
+    uniform u(doc_id) <= r_s, so the EXPECTED output mixture equals
+    the target and the sample is reproducible in ANSI SQL,
+    partition-order independent.
+
+    Masses are summed in integer arithmetic (exact,
+    order-independent) and cast to double once, so the acceptance
+    rates are bit-identical across engines and partitionings.
+
+    Scale shape: one |sources|-row aggregate broadcast back onto the
+    corpus — no global sort, no driver-side data collection. Rows
+    with weight <= 0 or NULL are excluded (GDS positive-weight
+    convention).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    total = float(sum(targets.values()))
+    if total <= 0:
+        raise ValueError("target shares must sum to > 0")
+    shares = [(s, v / total) for s, v in sorted(targets.items())]
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(shares, f"{source_col} string, _share double")
+
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    base = df.where(w > 0) if weight_col is not None else df
+    totals = base.groupBy(source_col).agg(F.sum(w).alias("_mass_l"))
+    j = totals.join(F.broadcast(tgt), source_col).withColumn(
+        "_mass", F.col("_mass_l").cast("double")
+    )
+    n_max = j.select(F.min(F.col("_mass") / F.col("_share")).alias("_n"))
+    rates = j.crossJoin(F.broadcast(n_max)).select(
+        source_col,
+        (F.col("_share") * F.col("_n") / F.col("_mass")).alias("accept_rate"),
+    )
+    return (
+        base.join(F.broadcast(rates), source_col)
+        .where(_uniform(id_col, seed) <= F.col("accept_rate"))
+        .select(
+            *[F.col(c) for c in df.columns],
+            F.round("accept_rate", 6).alias("accept_rate"),
+        )
+    )

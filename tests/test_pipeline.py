@@ -494,3 +494,23 @@ def test_chunk_documents(spark):
     assert rows[3]["n_chunk_tokens"] == 2 and rows[3]["chunk_text"] == "t9 t10"
     with pytest.raises(ValueError):
         text.chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_quantize_embeddings(spark):
+    rows = [
+        (1, [1.0, -2.0, 0.5, 2.0]),   # max_abs 2.0 -> scale 2/127
+        (2, [0.0, 0.0, 0.0, 0.0]),    # zero vector -> scale 1.0, zeros
+        (3, [-127.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in ann.quantize_embeddings(df).collect()}
+    assert got[1]["q_csv"] == "64,-127,32,127"  # round(1/(2/127)) = 64
+    assert got[1]["scale"] == round(2.0 / 127, 8)
+    assert got[2]["q_csv"] == "0,0,0,0" and got[2]["scale"] == 1.0
+    assert got[2]["mse"] == 0.0
+    assert got[3]["q_csv"] == "-127"
+    assert got[3]["mse"] == 0.0  # exactly representable
+    assert got[1]["mse"] > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ann.quantize_embeddings(df, bits=1)

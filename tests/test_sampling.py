@@ -112,3 +112,46 @@ def test_stratified_sample_quota_and_ranking(spark):
             key=lambda t: (-t[0], t[1]),
         )[:5]
         assert sorted(by_lang[lang]) == sorted(i for _, i in expect)
+
+
+def test_mix_corpus(spark):
+    from graph_data_science_spark.pipeline import sampling
+
+    rows = [
+        (i, "a" if i < 60 else ("b" if i < 90 else "c"), 10)
+        for i in range(120)
+    ]  # masses: a=600, b=300, c=300 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # target 50/50 between a and b: binding source is b
+    # (N = min(600/.5, 300/.5) = 600) -> r_a = .5*600/600 = 0.5, r_b = 1.0
+    out = sampling.mix_corpus(
+        df, {"a": 0.5, "b": 0.5}, weight_col="n_tokens", seed=11
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    rates = {r["source"]: r["accept_rate"]
+             for r in out.select("source", "accept_rate").distinct().collect()}
+    assert "c" not in counts            # unlisted source dropped
+    assert counts["b"] == 30            # binding source keeps everything
+    assert rates["b"] == 1.0 and rates["a"] == 0.5
+    assert 15 <= counts["a"] <= 45      # ~50% acceptance, deterministic
+    # determinism: same seed -> same sample
+    again = sampling.mix_corpus(
+        df, {"a": 0.5, "b": 0.5}, weight_col="n_tokens", seed=11
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # shares normalize: {1, 1} == {0.5, 0.5}
+    norm = sampling.mix_corpus(df, {"a": 1, "b": 1}, weight_col="n_tokens", seed=11)
+    assert sorted(r["doc_id"] for r in norm.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+    # doc-count weighting when weight_col is None
+    bydoc = sampling.mix_corpus(df, {"a": 0.5, "b": 0.5}, seed=11)
+    r2 = {r["source"]: r["accept_rate"]
+          for r in bydoc.select("source", "accept_rate").distinct().collect()}
+    assert r2["b"] == 1.0 and r2["a"] == 0.5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.mix_corpus(df, {})
