@@ -830,6 +830,14 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per doc by smoothed TF-IDF
+    (pipeline.text.tfidf_keywords) — corpus-level doc frequencies
+    broadcast back onto the term table."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.tfidf_keywords(docs, k=3)
+
+
 def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing (pipeline.sampling.mix_corpus): downsample to a
     40/30/20/10 token mixture over src0..src3 (other sources
@@ -2598,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "mix_corpus": _q_mix_corpus,
         "quantize_embeddings": _q_quantize_embeddings,
+        "tfidf_keywords": _q_tfidf_keywords,
         "weighted_sample": _q_weighted_sample,
         "sample_token_budget": _q_sample_token_budget,
         "stratified_sample": _q_stratified_sample,
@@ -3207,6 +3216,33 @@ SELECT doc_id,
        array_to_string(list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 40),
                        ' ') AS chunk_text
 FROM c
+""",
+        "tfidf_keywords": f"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='lower(text)')} AS toks FROM documents
+),
+terms AS (
+  SELECT doc_id, word, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+  GROUP BY doc_id, word
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM terms GROUP BY word),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT terms.doc_id, terms.word, terms.tf,
+         ROUND(terms.tf * (ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+           AS score
+  FROM terms JOIN dfreq USING (word), nd
+),
+r AS (
+  SELECT doc_id, word, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word)
+           AS "rank"
+  FROM scored
+)
+SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", word AS keyword,
+       CAST(tf AS BIGINT) AS tf, score
+FROM r WHERE "rank" <= 3
 """,
         "mix_corpus": rf"""
 WITH t AS (

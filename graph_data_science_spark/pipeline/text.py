@@ -304,3 +304,62 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
             F.md5(F.concat_ws(" ", toks))
         ),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k keywords per document by smoothed TF-IDF ->
+    (id, rank, keyword, tf, score).
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1) with N = corpus size and
+    df = number of docs containing the word (sklearn's smooth_idf
+    formula); ties break on the lexicographically smaller word.
+
+    Scale shape: explode -> (id, word) count (map-side partial agg),
+    document frequencies as ONE word-keyed aggregate broadcast back
+    onto the term table (the vocabulary is tiny relative to the
+    corpus), top-k via a per-doc window — no global sort, no Python.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    terms = (
+        df.select(F.col(id_col), F.explode(toks).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    doc_freq = terms.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        terms.join(F.broadcast(doc_freq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1.0)
+                        / (F.col("df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("word").alias("keyword"),
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+        )
+    )

@@ -514,3 +514,32 @@ def test_quantize_embeddings(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ann.quantize_embeddings(df, bits=1)
+
+
+def test_tfidf_keywords(spark):
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "common common dates"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.tfidf_keywords(df, k=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["keyword"], r["tf"]))
+    for v in got.values():
+        v.sort()
+    # doc 1: apple tf=2 df=1 -> highest; 'common' df=3 has lowest idf
+    assert got[1][0] == (1, "apple", 2)
+    assert got[1][1][1] == "banana"
+    # doc 3: 'common' tf=2 beats 'dates' tf=1 despite lower idf?
+    # common: 2*(ln(4/4)+1)=2.0 ; dates: 1*(ln(4/2)+1)=1.693 -> yes
+    assert got[3][0][1] == "common"
+    assert got[3][1][1] == "dates"
+    assert all(len(v) <= 2 for v in got.values())
+    # doc 2: cherry (df=1) outranks banana (df=2) at equal tf
+    assert got[2][0][1] == "cherry" and got[2][1][1] == "banana"
+    # true tie (same tf, same df) breaks on the smaller word
+    tie = spark.createDataFrame([(9, "zeta alpha")], "doc_id long, text string")
+    t = [(r["rank"], r["keyword"]) for r in text.tfidf_keywords(tie, k=2).collect()]
+    assert sorted(t) == [(1, "alpha"), (2, "zeta")]
