@@ -110,7 +110,11 @@ def similarity_topk(
     """
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {sorted(_METRICS)}, got {metric!r}")
-    q = queries.select(
+    from graph_data_science_spark.util import widen_scan
+
+    # widen the stream side: a single-file query table otherwise runs
+    # the whole O(Q x N) kernel as one task (util.widen_scan)
+    q = widen_scan(queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     c = corpus.select(
@@ -185,6 +189,9 @@ def hyperplane_signatures(
     Arrow-batched kernel (kept for wide-dim throughput comparisons;
     not SQL-reproducible).
     """
+    from graph_data_science_spark.util import widen_scan
+
+    df = widen_scan(df)  # n_planes x dim fused multiply-adds per row
     if method == "lcg":
         bucket = F.lit(0)
         for p in range(n_planes):

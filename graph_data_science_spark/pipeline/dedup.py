@@ -51,7 +51,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) — distinct md5'd word n-grams per document."""
+    """(doc_id, shingle) — distinct md5'd word n-grams per document.
+
+    The input is widened to default parallelism first: the shingle
+    explode + per-shingle hashing fused into the scan stage is the
+    expensive pass of every dedup operator, and bytes-based input
+    splits leave a few-MB corpus file on one core (util.widen_scan).
+    """
+    from graph_data_science_spark.util import widen_scan
+
+    df = widen_scan(df)
     toks = tokens(F.col(text_col))
     sh = F.when(
         F.size(toks) >= n,
@@ -361,7 +370,9 @@ def simhash(
     boundary; inside the batch it's vectorized numpy bit math over
     md5-derived token hashes).
     """
-    tok_df = df.select(
+    from graph_data_science_spark.util import widen_scan
+
+    tok_df = widen_scan(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     ).withColumn("tok_h", F.unhex(F.substring(F.md5("tok"), 1, 16)))

@@ -173,8 +173,10 @@ def repetition_stats(
     documents cost O(tokens) and the shuffle keys on (id, word) — no
     driver-side work, no Python.
     """
+    from graph_data_science_spark.util import widen_scan
+
     toks = tokens(F.col(text_col))
-    t = df.select(F.col(id_col), toks.alias("_toks"))
+    t = widen_scan(df).select(F.col(id_col), toks.alias("_toks"))
     words = t.select(id_col, F.explode("_toks").alias("_w"))
     word_agg = (
         words.groupBy(id_col, "_w")
@@ -321,9 +323,11 @@ def tfidf_keywords(
     onto the term table (the vocabulary is tiny relative to the
     corpus), top-k via a per-doc window — no global sort, no Python.
     """
+    from graph_data_science_spark.util import widen_scan
+
     toks = tokens(F.lower(F.col(text_col)))
     terms = (
-        df.select(F.col(id_col), F.explode(toks).alias("word"))
+        widen_scan(df).select(F.col(id_col), F.explode(toks).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count("*").alias("tf"))
     )

@@ -98,3 +98,26 @@ def global_rank(
     out = out.localCheckpoint(eager=True)
     local.unpersist()
     return out
+
+
+def widen_scan(df, target: int | None = None):
+    """Widen a NARROW input to the session's default parallelism
+    before a compute-heavy per-row kernel (shingling, per-shingle
+    hashing, vector math).
+
+    Bytes-based input splitting provisions partitions for scan cost,
+    not kernel cost: a few-MB parquet of documents arrives as ONE
+    partition, and everything fused into that scan stage (explode +
+    16 md5s per shingle) runs on one core — measured 7s single-task
+    vs sub-second at 32-way on the sf0.1 corpus. Widening is a cheap
+    shuffle of the small input and unlocks the cluster.
+
+    Never NARROWS: at real scale a 100-TB scan already has far more
+    partitions than defaultParallelism and must not be re-shuffled —
+    inputs with >= target partitions pass through untouched.
+    """
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
