@@ -294,6 +294,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     for near-identical docs only when they share their minimal
     shingle; used as a cheap pre-cluster key.
     """
+    from graph_data_science_spark.util import widen_scan
+
+    df = widen_scan(df)  # one md5 per shingle — kernel-bound, not scan-bound
     toks = tokens(F.col(text_col))
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     shingles = F.transform(
