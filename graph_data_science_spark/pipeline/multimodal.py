@@ -98,8 +98,11 @@ def decode_image_batch(df: DataFrame, resize: tuple[int, int] | None = None) -> 
                 rows["pixels"].append(arr.reshape(-1).astype(np.int32).tolist())
             yield pd.DataFrame(rows)
 
+    from graph_data_science_spark.util import widen_scan
+
     return (
-        df.where(F.col("kind") == "image")
+        widen_scan(df)  # decode is kernel-bound: widen a narrow media scan
+        .where(F.col("kind") == "image")
         .select("media_id", "payload")
         .mapInPandas(batch, out_schema)
     )
@@ -128,7 +131,13 @@ def fake_feature_extract(df: DataFrame, feat_dim: int = 8) -> DataFrame:
                 }
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(batch, out_schema)
+    from graph_data_science_spark.util import widen_scan
+
+    return (
+        widen_scan(df)
+        .select("media_id", "kind", "payload")
+        .mapInPandas(batch, out_schema)
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
