@@ -830,6 +830,13 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, max_tokens=40, overlap=8)
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup (pipeline.text.corpus_stats):
+    exact interpolated token-count percentiles."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.corpus_stats(docs, group_col="lang")
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 keywords per doc by smoothed TF-IDF
     (pipeline.text.tfidf_keywords) — corpus-level doc frequencies
@@ -2607,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": _q_mix_corpus,
         "quantize_embeddings": _q_quantize_embeddings,
         "tfidf_keywords": _q_tfidf_keywords,
+        "corpus_stats": _q_corpus_stats,
         "weighted_sample": _q_weighted_sample,
         "sample_token_budget": _q_sample_token_budget,
         "stratified_sample": _q_stratified_sample,
@@ -3216,6 +3224,19 @@ SELECT doc_id,
        array_to_string(list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 40),
                        ' ') AS chunk_text
 FROM c
+""",
+        "corpus_stats": f"""
+WITH t AS (
+  SELECT lang, len({DOC_TOKENS.format(col='text')}) AS n FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_tokens,
+       ROUND(quantile_cont(n, 0.5), 4) AS p50_tokens,
+       ROUND(quantile_cont(n, 0.9), 4) AS p90_tokens,
+       ROUND(quantile_cont(n, 0.99), 4) AS p99_tokens
+FROM t GROUP BY lang
 """,
         "tfidf_keywords": f"""
 WITH t AS (

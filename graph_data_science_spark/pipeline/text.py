@@ -370,3 +370,35 @@ def tfidf_keywords(
             "score",
         )
     )
+
+
+def corpus_stats(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group corpus rollup -> (group, n_docs, total_tokens,
+    avg_tokens, p50_tokens, p90_tokens, p99_tokens).
+
+    The "what's in this corpus" report of a training pipeline: doc
+    counts, token mass, and the token-length distribution per
+    language/source/domain. Percentiles are EXACT interpolated
+    (percentile_cont semantics, matching DuckDB's quantile_cont
+    bit-for-bit) so the oracle is value-identical; at 100 TB swap
+    `F.percentile` for `F.percentile_approx` — same plan shape, one
+    partial+final groupBy either way.
+    """
+    n = token_count(F.col(text_col))
+    t = df.select(F.col(group_col), n.alias("_n"))
+    return (
+        t.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("_n").cast("double") / F.count("*").cast("double"), 4
+            ).alias("avg_tokens"),
+            F.round(F.percentile("_n", F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile("_n", F.lit(0.9)), 4).alias("p90_tokens"),
+            F.round(F.percentile("_n", F.lit(0.99)), 4).alias("p99_tokens"),
+        )
+        .withColumn("n_docs", F.col("n_docs").cast("long"))
+    )

@@ -543,3 +543,19 @@ def test_tfidf_keywords(spark):
     tie = spark.createDataFrame([(9, "zeta alpha")], "doc_id long, text string")
     t = [(r["rank"], r["keyword"]) for r in text.tfidf_keywords(tie, k=2).collect()]
     assert sorted(t) == [(1, "alpha"), (2, "zeta")]
+
+
+def test_corpus_stats(spark):
+    rows = [
+        (1, "en", "a b c"),
+        (2, "en", "a b c d e"),
+        (3, "de", "x"),
+        (4, "de", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in text.corpus_stats(df).collect()}
+    assert got["en"]["n_docs"] == 2 and got["en"]["total_tokens"] == 8
+    assert got["en"]["avg_tokens"] == 4.0
+    assert got["en"]["p50_tokens"] == 4.0  # interpolated between 3 and 5
+    assert got["de"]["total_tokens"] == 1
+    assert got["de"]["p90_tokens"] == 0.9  # cont. interpolation of [0, 1]
