@@ -147,3 +147,28 @@ def streaming_turn_counter(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental exact dedup for a document STREAM: keep the first
+    arrival of each distinct text (by md5), drop later copies.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state is
+    bounded: two copies of a text are deduped when they arrive within
+    the watermark of each other, and state for hashes older than the
+    watermark is evicted — the only semantics with finite state on an
+    unbounded corpus (the batch operator `dedup.exact_duplicates`
+    stays the exact-global form). Works on batch DataFrames too
+    (falls back to plain dropDuplicates semantics with the same
+    column set).
+    """
+    src = docs.withColumn("_h", F.md5(F.col(text_col)))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
+    return src.dropDuplicates(["_h"]).drop("_h")

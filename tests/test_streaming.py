@@ -72,3 +72,48 @@ def test_streaming_turn_counter_matches_event_turns(spark, events_batch, events_
         for r in ev.event_turns(events_batch).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per
+    distinct text; batch fallback produces the same distinct set."""
+    import datetime as dt
+    import shutil
+
+    from graph_data_science_spark.streaming import streaming_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha text", t0),
+        (2, "alpha text", t0 + dt.timedelta(minutes=1)),   # dup within watermark
+        (3, "beta text", t0 + dt.timedelta(minutes=2)),
+        (4, "gamma text", t0 + dt.timedelta(minutes=3)),
+        (5, "beta text", t0 + dt.timedelta(minutes=4)),    # dup within watermark
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    batch = spark.createDataFrame(rows, schema)
+    src = tmp_path / "docs_stream_src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "docs"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src / "docs"))
+
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="gds_dedup_ckpt_") as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    got = spark.table("dedup_stream").collect()
+    texts = [r["text"] for r in got]
+    assert sorted(texts) == ["alpha text", "beta text", "gamma text"]
+    # batch fallback: same distinct text set, streaming flag respected
+    b = streaming_exact_dedup(batch).collect()
+    assert sorted(r["text"] for r in b) == ["alpha text", "beta text", "gamma text"]
+    assert "_h" not in spark.table("dedup_stream").columns
