@@ -1,0 +1,200 @@
+"""spark-submit entry point — run one training-data pipeline operator
+over a document (or embedding) table.
+
+Cluster usage (same deployment shape as jobs/run_algorithm.py):
+
+    zip -r gds_spark.zip graph_data_science_spark
+    spark-submit --py-files gds_spark.zip jobs/run_pipeline.py \\
+        --operator minhash_lsh \\
+        --input iceberg_cat.db.documents \\   # or a parquet path
+        --output /out/candidates \\
+        --config '{"num_hashes": 16, "bands": 4}'
+
+The input is a document table (doc_id, text, ...) for the text/dedup
+operators or an embedding table (vec_id, embedding) for the vector
+operators; the job runs the operator, writes the result as parquet,
+and prints one JSON line of run metrics (rows, wall seconds).
+
+Local smoke:
+    python jobs/run_pipeline.py --operator exact_dedup \\
+        --input /root/testdata/sf0.001/documents.parquet --output /tmp/dups
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def _read(spark: SparkSession, path_or_table: str):
+    if os.path.exists(path_or_table) or path_or_table.startswith(
+        ("/", "file:", "hdfs:", "s3:", "s3a:", "gs:", "abfs:")
+    ):
+        return spark.read.parquet(path_or_table)
+    return spark.read.table(path_or_table)
+
+
+def _op_exact_dedup(spark, df, cfg):
+    from graph_data_science_spark.pipeline import dedup
+
+    return dedup.exact_duplicates(df, **cfg)
+
+
+def _op_minhash_lsh(spark, df, cfg):
+    from graph_data_science_spark.pipeline import dedup
+
+    return dedup.minhash_lsh_candidates(df, **cfg)
+
+
+def _op_dedup_clusters(spark, df, cfg):
+    from graph_data_science_spark.pipeline import dedup
+
+    return dedup.dedup_clusters(df, **cfg)
+
+
+def _op_simhash(spark, df, cfg):
+    from graph_data_science_spark.pipeline import dedup
+
+    return dedup.simhash_near_duplicates(df, **cfg)
+
+
+def _op_decontaminate(spark, df, cfg):
+    from graph_data_science_spark.pipeline import dedup
+
+    bench_path = cfg.pop("benchmark_input")
+    return dedup.decontaminate(df, _read(spark, bench_path), **cfg)
+
+
+def _op_pii_scrub(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.pii_scrub(df, **cfg)
+
+
+def _op_repetition_stats(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.repetition_stats(df, **cfg)
+
+
+def _op_doc_chunks(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.chunk_documents(df, **cfg)
+
+
+def _op_tfidf_keywords(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.tfidf_keywords(df, **cfg)
+
+
+def _op_corpus_stats(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.corpus_stats(df, **cfg)
+
+
+def _op_quality(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.quality_score(df, **cfg)
+
+
+def _op_language_id(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.language_id(df, **cfg)
+
+
+def _op_token_stats(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.add_token_stats(df, **cfg)
+
+
+def _op_mix_corpus(spark, df, cfg):
+    from graph_data_science_spark.pipeline import sampling
+
+    targets = cfg.pop("targets")
+    return sampling.mix_corpus(df, targets, **cfg)
+
+
+def _op_weighted_sample(spark, df, cfg):
+    from graph_data_science_spark.pipeline import sampling
+
+    weight_col = cfg.pop("weight_col")
+    return sampling.weighted_sample(df, weight_col, **cfg)
+
+
+def _op_quantize(spark, df, cfg):
+    from graph_data_science_spark.pipeline import ann
+
+    return ann.quantize_embeddings(df, **cfg)
+
+
+def _op_ann_topk(spark, df, cfg):
+    from graph_data_science_spark.pipeline import ann
+
+    return ann.similarity_topk(df, df, **cfg)
+
+
+OPERATORS = {
+    "exact_dedup": _op_exact_dedup,
+    "minhash_lsh": _op_minhash_lsh,
+    "dedup_clusters": _op_dedup_clusters,
+    "simhash_near_duplicates": _op_simhash,
+    "decontaminate": _op_decontaminate,
+    "pii_scrub": _op_pii_scrub,
+    "repetition_stats": _op_repetition_stats,
+    "doc_chunks": _op_doc_chunks,
+    "tfidf_keywords": _op_tfidf_keywords,
+    "corpus_stats": _op_corpus_stats,
+    "quality_score": _op_quality,
+    "language_id": _op_language_id,
+    "token_stats": _op_token_stats,
+    "mix_corpus": _op_mix_corpus,
+    "weighted_sample": _op_weighted_sample,
+    "quantize_embeddings": _op_quantize,
+    "ann_topk": _op_ann_topk,
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--operator", required=True, choices=sorted(OPERATORS))
+    p.add_argument("--input", required=True, help="document/embedding table or path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--config", default="{}", help="JSON operator config")
+    args = p.parse_args()
+    cfg = json.loads(args.config)
+
+    spark = SparkSession.builder.appName(f"gds-pipeline-{args.operator}").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    df = _read(spark, args.input)
+    t0 = time.monotonic()
+    out = OPERATORS[args.operator](spark, df, cfg)
+    out.write.mode("overwrite").parquet(args.output)
+    rows = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "operator": args.operator,
+                "rows": rows,
+                "wall_sec": round(time.monotonic() - t0, 3),
+                "output": args.output,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
