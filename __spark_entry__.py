@@ -778,6 +778,15 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs)
 
 
+def _q_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH -> verify pipeline stage (pipeline.dedup.verify_candidates):
+    exact n-gram Jaccard computed ONLY for the MinHash-LSH candidate
+    pairs — the scale path vs the all-pairs shingle self-join."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs)
+    return dedup.verify_candidates(docs, cands, threshold=0.8)
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (pipeline.text.pii_scrub). The
     synthetic corpus is PII-free, so deterministic PII is injected
@@ -2620,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "verify_candidates": _q_verify_candidates,
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_brute,
         "ann_pearson_topk": _q_ann_pearson,
@@ -3342,6 +3352,44 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
+""",
+        "verify_candidates": f"""
+WITH {SHINGLES_SQL.strip()},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{h}|' || shingle)) AS h{h}" for h in range(16))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, %d AS band, md5(h%d || '|' || h%d || '|' || h%d || '|' || h%d)"
+      " AS bucket FROM sig" % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+      for b in range(4)
+  )}
+),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jaccard,
+       ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) >= 0.8 AS is_duplicate
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
 """,
         "dedup_clusters": f"""
 WITH {SHINGLES_SQL.strip()},

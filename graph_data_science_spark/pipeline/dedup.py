@@ -451,3 +451,56 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def verify_candidates(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard, is_duplicate) — EXACT n-gram Jaccard
+    for a candidate pair set (e.g. `minhash_lsh_candidates` output):
+    the verify stage of the standard LSH -> verify fuzzy-dedup
+    pipeline.
+
+    Unlike `ngram_jaccard_pairs` (which joins the full shingle table
+    against itself and is quadratic in hot-shingle doc frequency),
+    this computes Jaccard ONLY for the supplied pairs: shingles are
+    joined to the candidate list on each side and intersections
+    counted per pair — cost O(|pairs| x shingles/doc), the 100-TB
+    shape when candidates came from a banded/bucketed index. Pairs
+    whose docs share no shingle verify at 0.0 (kept, flagged false),
+    so the output has exactly one row per input pair.
+    """
+    sh = shingle_sets(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
+    p = pairs.select("doc_a", "doc_b")
+    inter = (
+        p.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        p.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_sz", "_sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_sz", "_sb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("_inter"), F.lit(0)).cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.coalesce(F.col("_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .withColumn("is_duplicate", F.col("jaccard") >= threshold)
+    )
+    sh.unpersist()
+    return out

@@ -559,3 +559,25 @@ def test_corpus_stats(spark):
     assert got["en"]["p50_tokens"] == 4.0  # interpolated between 3 and 5
     assert got["de"]["total_tokens"] == 1
     assert got["de"]["p90_tokens"] == 0.9  # cont. interpolation of [0, 1]
+
+
+def test_verify_candidates(spark, docs):
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.verify_candidates(docs, cands, threshold=0.5).collect()
+    }
+    assert got[(1, 2)]["jaccard"] == 1.0 and got[(1, 2)]["is_duplicate"] is True
+    # exact jaccard matches the all-pairs operator on shared pairs
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for k, r in got.items():
+        assert r["jaccard"] == exact.get(k, 0.0)
+    # one output row per input candidate pair, even non-overlapping ones
+    assert len(got) == cands.count()
+    # a fabricated pair with zero overlap verifies at 0.0 / False
+    fake = spark.createDataFrame([(1, 4)], "doc_a long, doc_b long")
+    fr = dedup.verify_candidates(docs, fake).collect()
+    assert len(fr) == 1 and fr[0]["jaccard"] == 0.0 and fr[0]["is_duplicate"] is False
