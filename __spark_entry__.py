@@ -778,6 +778,14 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(docs)
 
 
+def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (pipeline.dedup.dedup_spans),
+    32-token non-overlapping windows: exact-dup documents lose all
+    but the first copy's spans; unique text survives verbatim."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return dedup.dedup_spans(docs, span_tokens=32)
+
+
 def _q_verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH -> verify pipeline stage (pipeline.dedup.verify_candidates):
     exact n-gram Jaccard computed ONLY for the MinHash-LSH candidate
@@ -2630,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "verify_candidates": _q_verify_candidates,
+        "dedup_spans": _q_dedup_spans,
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_brute,
         "ann_pearson_topk": _q_ann_pearson,
@@ -3352,6 +3361,44 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
+""",
+        "dedup_spans": f"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='text')} AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 0 THEN 0
+              WHEN len(toks) <= 32 THEN 1
+              ELSE CAST((len(toks) - 32 + 31) // 32 AS INTEGER) + 1 END AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(list_slice(toks, chunk_idx * 32 + 1, chunk_idx * 32 + 32),
+                         ' ') AS chunk_text
+  FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx
+        FROM n WHERE n_chunks > 0)
+),
+k AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+),
+r AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         COUNT(*) FILTER (WHERE rn = 1) AS n_spans_kept,
+         COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                    FILTER (WHERE rn = 1), '') AS dt
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(r.n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
+       COALESCE(r.dt, '') AS deduped_text
+FROM documents d LEFT JOIN r USING (doc_id)
 """,
         "verify_candidates": f"""
 WITH {SHINGLES_SQL.strip()},

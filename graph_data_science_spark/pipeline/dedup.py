@@ -504,3 +504,68 @@ def verify_candidates(
     )
     sh.unpersist()
     return out
+
+
+def dedup_spans(
+    df: DataFrame,
+    span_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_spans, n_spans_kept, deduped_text) — span-level
+    exact dedup across the corpus (the window-hash approximation of
+    suffix-array substring dedup, Lee et al. 2022): split every doc
+    into NON-overlapping `span_tokens` windows, keep only the global
+    FIRST occurrence of each distinct span (order: doc_id, position),
+    and rebuild each document from its surviving spans in order.
+
+    Catches copy-pasted passages shared across documents that
+    doc-level dedup misses. Scale shape: one shuffle keyed by span
+    hash for the first-occurrence window, one groupBy doc for the
+    rebuild — no self-joins; span rows are bounded at ~span_tokens
+    width regardless of document length.
+    """
+    from pyspark.sql import Window
+
+    from graph_data_science_spark.pipeline.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, max_tokens=span_tokens, overlap=0, text_col=text_col, id_col=id_col
+    )
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy(id_col, "chunk_idx")
+    marked = chunks.withColumn("_rn", F.row_number().over(w))
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_spans_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct("chunk_idx", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("deduped_text"),
+        )
+    )
+    spine = df.select(F.col(id_col))
+    return (
+        spine.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_spans_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_spans_kept"),
+            F.coalesce(F.col("deduped_text"), F.lit("")).alias("deduped_text"),
+        )
+    )

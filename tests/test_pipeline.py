@@ -581,3 +581,24 @@ def test_verify_candidates(spark, docs):
     fake = spark.createDataFrame([(1, 4)], "doc_a long, doc_b long")
     fr = dedup.verify_candidates(docs, fake).collect()
     assert len(fr) == 1 and fr[0]["jaccard"] == 0.0 and fr[0]["is_duplicate"] is False
+
+
+def test_dedup_spans(spark):
+    # spans of 3 tokens; doc 2 repeats doc 1's first span, doc 3 is
+    # unique, doc 4 repeats a span of itself
+    rows = [
+        (1, "a b c d e f"),          # spans: "a b c", "d e f"
+        (2, "a b c x y z"),          # "a b c" dups doc 1's span
+        (3, "p q r"),
+        (4, "m n o m n o"),          # second span dups the first
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.dedup_spans(df, span_tokens=3).collect()}
+    assert got[1]["n_spans"] == 2 and got[1]["n_spans_kept"] == 2
+    assert got[1]["deduped_text"] == "a b c d e f"
+    assert got[2]["n_spans"] == 2 and got[2]["n_spans_kept"] == 1
+    assert got[2]["deduped_text"] == "x y z"
+    assert got[3]["deduped_text"] == "p q r"
+    assert got[4]["n_spans_kept"] == 1 and got[4]["deduped_text"] == "m n o"
+    assert got[5]["n_spans"] == 0 and got[5]["deduped_text"] == ""
