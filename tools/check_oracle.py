@@ -21,7 +21,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 from graph_data_science_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
