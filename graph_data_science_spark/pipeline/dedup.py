@@ -502,7 +502,10 @@ def verify_candidates(
         )
         .withColumn("is_duplicate", F.col("jaccard") >= threshold)
     )
-    sh.unpersist()
+    # NOTE: sh stays persisted — the returned plan reads it three
+    # times (sizes + both sides of the intersection join) and an
+    # unpersist here would run BEFORE the caller's action, silently
+    # discarding the cache (same convention as ngram_jaccard_pairs).
     return out
 
 
