@@ -221,6 +221,8 @@ def mix_corpus(
     """
     if not targets:
         raise ValueError("targets must be non-empty")
+    if any(v < 0 for v in targets.values()):
+        raise ValueError("target shares must be >= 0")
     total = float(sum(targets.values()))
     if total <= 0:
         raise ValueError("target shares must sum to > 0")

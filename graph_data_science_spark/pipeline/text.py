@@ -258,8 +258,8 @@ def chunk_documents(
     sized regardless of input document length (the point at 100 TB:
     downstream shuffles see bounded row widths).
     """
-    if overlap >= max_tokens:
-        raise ValueError("overlap must be < max_tokens")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
     stride = max_tokens - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)

@@ -116,6 +116,8 @@ def widen_scan(df, target: int | None = None):
     partitions than defaultParallelism and must not be re-shuffled —
     inputs with >= target partitions pass through untouched.
     """
+    if df.isStreaming:  # no static partition count; leave to the source
+        return df
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
