@@ -65,6 +65,24 @@ def _op_simhash(spark, df, cfg):
     return dedup.simhash_near_duplicates(df, **cfg)
 
 
+def _op_dedup_spans(spark, df, cfg):
+    from graph_data_science_spark.pipeline import dedup
+
+    return dedup.dedup_spans(df, **cfg)
+
+
+def _op_verify_candidates(spark, df, cfg):
+    from graph_data_science_spark.pipeline import dedup
+
+    pairs_path = cfg.pop("pairs_input", None)
+    pairs = (
+        _read(spark, pairs_path)
+        if pairs_path
+        else dedup.minhash_lsh_candidates(df)
+    )
+    return dedup.verify_candidates(df, pairs, **cfg)
+
+
 def _op_decontaminate(spark, df, cfg):
     from graph_data_science_spark.pipeline import dedup
 
@@ -150,6 +168,8 @@ OPERATORS = {
     "exact_dedup": _op_exact_dedup,
     "minhash_lsh": _op_minhash_lsh,
     "dedup_clusters": _op_dedup_clusters,
+    "dedup_spans": _op_dedup_spans,
+    "verify_candidates": _op_verify_candidates,
     "simhash_near_duplicates": _op_simhash,
     "decontaminate": _op_decontaminate,
     "pii_scrub": _op_pii_scrub,
