@@ -157,6 +157,34 @@ def run_headline(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_pipeline_block(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Timings for the round-3 training-pipeline operator family —
+    reported SEPARATELY from the headline sum so the headline stays
+    comparable across rounds (the headline list is frozen at r1's)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "dedup_spans",
+        "verify_candidates",
+        "dedup_clusters",
+        "pii_scrub",
+        "repetition_stats",
+        "doc_chunks",
+        "tfidf_keywords",
+        "corpus_stats",
+        "mix_corpus",
+        "quantize_embeddings",
+        "decontaminate",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
 def lsh_recall(spark: SparkSession, sf_dir: str) -> dict:
     """Recall@k of the LSH top-k vs the exact brute-force top-k, at
     n_tables=1 and the headline n_tables=2 — the measured recall gain
@@ -360,6 +388,7 @@ def main() -> None:
     )
     spark = make_spark(CPUS)
     queries = run_headline(spark, SF_DIR)
+    pipeline_queries = run_pipeline_block(spark, SF_DIR)
     pr_stats = timed_pagerank(spark, SF_DIR)
     recall = lsh_recall(spark, SF_DIR)
     spark.stop()
@@ -371,6 +400,10 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # round-3 pipeline operator family, timed in the same session
+        # but NOT in the headline sum (headline list frozen at r1's)
+        "pipeline_queries": pipeline_queries,
+        "pipeline_total_sec": round(sum(pipeline_queries.values()), 3),
         "sf": sf,
         "pagerank": pr_stats,
         "ann_lsh_recall": recall,
