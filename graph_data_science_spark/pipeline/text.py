@@ -333,6 +333,11 @@ def tfidf_keywords(
         widen_scan(df).select(F.col(id_col), F.explode(toks).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count("*").alias("tf"))
+        # read twice (scores + doc frequencies) with DIFFERENT shuffle
+        # keys, so no exchange reuse — persist to tokenize the corpus
+        # once (MEMORY_AND_DISK default spills rather than recomputing
+        # the full explode at scale)
+        .persist()
     )
     doc_freq = terms.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
