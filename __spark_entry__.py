@@ -999,6 +999,14 @@ def _q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.semantic_dedup(
+        emb, dim=ANN_DIM, threshold=0.4, n_planes=ANN_LSH_PLANES,
+        n_tables=ANN_LSH_TABLES, seed=ANN_SEED,
+    )
+
+
 def _q_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = ev.load_table(spark, sf_dir, "customer")
     scaled = scale_property(cust, "c_acctbal", "MINMAX", out_col="scaled")
@@ -2646,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "cosine_near_duplicates": _q_cosine_near_dups,
+        "semantic_dedup": _q_semantic_dedup,
         "scale_minmax": _q_scale_minmax,
         "hits": _q_hits,
         "closeness_centrality": _q_closeness,
@@ -3878,6 +3887,36 @@ SELECT id_a, id_b, cosine FROM (
   JOIN e x ON x.vec_id = c.id_a
   JOIN e y ON y.vec_id = c.id_b
 ) s WHERE cosine >= 0.4
+""",
+        "semantic_dedup": f"""
+WITH {_lsh_sig_ctes().strip()},
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+ndp AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(x.v, y.v)
+             / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v))), 6)
+             AS cosine
+    FROM cand c
+    JOIN e x ON x.vec_id = c.id_a
+    JOIN e y ON y.vec_id = c.id_b
+  ) s WHERE cosine >= 0.4
+),
+sdverts AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),
+sdu AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM ndp
+  UNION ALL SELECT id_b, id_a FROM ndp
+),
+{_min_label_ctes("sdverts", "sdu", WCC_ROUNDS, prefix="sd")}
+SELECT c.id AS vec_id, c.lbl AS cluster_id, s.cluster_size,
+       c.id = c.lbl AS is_representative
+FROM sd{WCC_ROUNDS} c
+JOIN (SELECT lbl, COUNT(*) AS cluster_size FROM sd{WCC_ROUNDS} GROUP BY lbl) s
+  ON s.lbl = c.lbl
 """,
         "wcc_full": _wcc_full_sql(),
         "wcc_seeded": f"""

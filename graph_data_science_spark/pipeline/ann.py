@@ -462,6 +462,74 @@ def cosine_near_duplicates(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lcg",
+) -> DataFrame:
+    """(vec_id, cluster_id, cluster_size, is_representative) —
+    SemDeDup-style semantic deduplication of an embedding corpus
+    (Abbas et al. 2023, arXiv:2303.09540): near-duplicate pairs by
+    embedding cosine >= threshold (LSH-blocked, never all-pairs) ->
+    connected components over the near-dup graph -> one
+    representative (min id) kept per semantic cluster. Items with no
+    near-dup form singleton clusters and keep themselves; downstream
+    filters ``is_representative`` to drop semantic duplicates.
+
+    The embedding-space analog of :func:`pipeline.dedup.dedup_clusters`
+    (which blocks on MinHash of the raw text): same cluster/keep
+    contract, different similarity channel, so a curation pipeline can
+    run both and intersect the keep sets.
+
+    100-TB shape: candidate pairs stay bucketed per (table, bucket)
+    hyperplane signature — one shuffle keyed by bucket; the component
+    sweep is WCC's min-label propagation with pointer jumping, whose
+    round count is ~log2 of the near-dup-graph diameter (semantic-dup
+    clusters are dense blobs, not long chains).
+    """
+    from graph_data_science_spark.algorithms.wcc import wcc
+    from graph_data_science_spark.catalog import Graph
+
+    spark = df.sparkSession
+    pairs = cosine_near_duplicates(
+        df, dim, threshold, n_planes, n_tables, seed, id_col, vec_col, method
+    )
+    g = Graph(
+        name="semantic_dedup",
+        edges=pairs.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ),
+    )
+    comp = wcc(spark, g).state.select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    out = (
+        df.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        # WCC component id = min vertex id in the component, so the
+        # keep test is a column compare — no extra aggregation
+        (F.col(id_col) == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -337,6 +337,37 @@ def test_dedup_clusters(spark):
     assert got[10] == (10, 1, True)
 
 
+def test_semantic_dedup(spark):
+    """SemDeDup contract: cosine-near-dup components share a cluster,
+    min id is the kept representative, isolated vectors are singleton
+    representatives. Vectors 1/2 are identical, 3 is a scaled copy
+    (cosine 1.0 with both), 10 is orthogonal."""
+    from graph_data_science_spark.pipeline.ann import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 1.0, 0.0]),
+            (2, [1.0, 0.0, 1.0, 0.0]),
+            (3, [2.0, 0.0, 2.0, 0.0]),
+            (10, [0.0, 1.0, 0.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["cluster_size"], r["is_representative"])
+        for r in semantic_dedup(
+            emb, dim=4, threshold=0.95, n_planes=4, n_tables=2
+        ).collect()
+    }
+    assert got[1] == (1, 3, True)
+    assert got[2] == (1, 3, False)
+    assert got[3] == (1, 3, False)
+    assert got[10] == (10, 1, True)
+    # keep-set = representatives only: exactly one survivor per cluster
+    keep = [k for k, v in got.items() if v[2]]
+    assert sorted(keep) == [1, 10]
+
+
 def test_bpe_token_count(spark):
     from graph_data_science_spark.pipeline.text import bpe_token_count, token_count
     from pyspark.sql import functions as F
