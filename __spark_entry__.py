@@ -52,7 +52,14 @@ from graph_data_science_spark.algorithms.triangle import (
 from graph_data_science_spark.algorithms.wcc import WccConfig, wcc
 from graph_data_science_spark.catalog import Graph
 from graph_data_science_spark.functions.scalers import scale_property
-from graph_data_science_spark.pipeline import ann, dedup, sampling, sessions, text
+from graph_data_science_spark.pipeline import (
+    ann,
+    dedup,
+    sampling,
+    sessions,
+    temporal,
+    text,
+)
 from graph_data_science_spark.sources import events as ev
 
 # fixed superstep counts for the oracle-checked runs
@@ -1004,6 +1011,52 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.semantic_dedup(
         emb, dim=ANN_DIM, threshold=0.4, n_planes=ANN_LSH_PLANES,
         n_tables=ANN_LSH_TABLES, seed=ANN_SEED,
+    )
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event matched to the user's latest purchase at or
+    before it (classic event-attribution as-of join). The right side
+    is pre-aggregated to unique (user_id, ts) so tie resolution never
+    enters the comparison (DuckDB's ASOF leaves ties unspecified)."""
+    events = ev.load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max("value").alias("p_value"),
+        )
+    )
+    return temporal.asof_join(clicks, purchases, on="ts", by="user_id")
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks falling inside any same-user 2-hour post-purchase
+    window — the interval-point (range) join, bucketed by hour."""
+    events = ev.load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    return temporal.range_join(
+        clicks, windows, "ts", "start_ts", "end_ts", by="user_id",
+        bucket_sec=3600.0,
+    )
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ev.load_table(spark, sf_dir, "events")
+    return temporal.time_rollup(
+        events, "ts", "value", resolutions=("hour", "day")
     )
 
 
@@ -2655,6 +2708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "cosine_near_duplicates": _q_cosine_near_dups,
         "semantic_dedup": _q_semantic_dedup,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "time_rollup": _q_time_rollup,
         "scale_minmax": _q_scale_minmax,
         "hits": _q_hits,
         "closeness_centrality": _q_closeness,
@@ -3917,6 +3973,46 @@ SELECT c.id AS vec_id, c.lbl AS cluster_id, s.cluster_size,
 FROM sd{WCC_ROUNDS} c
 JOIN (SELECT lbl, COUNT(*) AS cluster_size FROM sd{WCC_ROUNDS} GROUP BY lbl) s
   ON s.lbl = c.lbl
+""",
+        "asof_join": """
+WITH l AS MATERIALIZED (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS MATERIALIZED (
+  SELECT user_id, ts, MAX(event_id) AS p_event_id, MAX(value) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS r_ts, r.p_event_id AS r_p_event_id, r.p_value AS r_p_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_join": """
+WITH l AS MATERIALIZED (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS MATERIALIZED (
+  SELECT user_id, event_id AS win_id, ts AS start_ts,
+         ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.win_id AS r_win_id, r.start_ts AS r_start_ts, r.end_ts AS r_end_ts
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.ts >= r.start_ts AND l.ts < r.end_ts
+""",
+        "time_rollup": """
+WITH rb AS (
+  SELECT res.resolution, date_trunc(res.resolution, e.ts) AS bucket_start,
+         CAST(e.value AS DECIMAL(28,9)) AS vx, e.value AS v
+  FROM events e
+  CROSS JOIN (SELECT UNNEST(['hour', 'day']) AS resolution) res
+)
+SELECT resolution, bucket_start, COUNT(*) AS n,
+       ROUND(CAST(SUM(vx) AS DOUBLE), 6) AS sum_value,
+       ROUND(MIN(v), 6) AS min_value,
+       ROUND(MAX(v), 6) AS max_value,
+       ROUND(CAST(SUM(vx) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM rb GROUP BY 1, 2
 """,
         "wcc_full": _wcc_full_sql(),
         "wcc_seeded": f"""
