@@ -1014,6 +1014,43 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, top_n=100)
+
+
+def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.graph.list degreeDistribution
+    (GraphStoreCatalog.java:185-203) — exact interpolated percentiles
+    of the out-degree over ALL vertices (zero-degree tools included),
+    where the reference bins through HdrHistogram."""
+    g = _user_tool_graph(spark, sf_dir)
+    out_deg = (
+        g.view()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    deg = (
+        g.vertices()
+        .join(out_deg, "id", "left")
+        .select(F.coalesce(F.col("_d"), F.lit(0)).alias("d"))
+    )
+    pct = [0.5, 0.75, 0.9, 0.95, 0.99, 0.999]
+    names = ["p50", "p75", "p90", "p95", "p99", "p999"]
+    return deg.agg(
+        F.count(F.lit(1)).alias("node_count"),
+        F.min("d").alias("min_degree"),
+        F.round(
+            F.sum("d").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_degree"),
+        F.max("d").alias("max_degree"),
+        *[
+            F.round(F.percentile("d", F.lit(p)), 6).alias(nm)
+            for p, nm in zip(pct, names)
+        ],
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click event matched to the user's latest purchase at or
     before it (classic event-attribution as-of join). The right side
@@ -2711,6 +2748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
+        "vocab_coverage": _q_vocab_coverage,
+        "degree_distribution": _q_degree_distribution,
         "scale_minmax": _q_scale_minmax,
         "hits": _q_hits,
         "closeness_centrality": _q_closeness,
@@ -3973,6 +4012,44 @@ SELECT c.id AS vec_id, c.lbl AS cluster_id, s.cluster_size,
 FROM sd{WCC_ROUNDS} c
 JOIN (SELECT lbl, COUNT(*) AS cluster_size FROM sd{WCC_ROUNDS} GROUP BY lbl) s
   ON s.lbl = c.lbl
+""",
+        "vocab_coverage": r"""
+WITH toks AS MATERIALIZED (
+  SELECT t.tok AS token
+  FROM documents d, UNNEST(regexp_split_to_array(d.text, '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+counts AS MATERIALIZED (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+total AS (SELECT SUM(n) AS tot FROM counts),
+top AS MATERIALIZED (
+  SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 100
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+       token, n,
+       ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
+       ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, token ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / tot, 6) AS cum_share
+FROM top, total
+""",
+        "degree_distribution": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+deg AS (
+  SELECT v.id, COALESCE(o.c, 0) AS d
+  FROM utverts v
+  LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM ut GROUP BY 1) o USING (id)
+)
+SELECT COUNT(*) AS node_count,
+       MIN(d) AS min_degree,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS mean_degree,
+       MAX(d) AS max_degree,
+       ROUND(quantile_cont(d, 0.5), 6) AS p50,
+       ROUND(quantile_cont(d, 0.75), 6) AS p75,
+       ROUND(quantile_cont(d, 0.9), 6) AS p90,
+       ROUND(quantile_cont(d, 0.95), 6) AS p95,
+       ROUND(quantile_cont(d, 0.99), 6) AS p99,
+       ROUND(quantile_cont(d, 0.999), 6) AS p999
+FROM deg
 """,
         "asof_join": """
 WITH l AS MATERIALIZED (

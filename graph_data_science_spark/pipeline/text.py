@@ -377,6 +377,54 @@ def tfidf_keywords(
     )
 
 
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """(rank, token, n, share, cum_share) — the corpus's top-``top_n``
+    vocabulary with cumulative coverage, the heavy-hitters pass of
+    tokenizer/vocabulary construction (how much of the token mass do
+    the first k vocab entries cover?).
+
+    Ties break by token ascending, so ranks are deterministic. Shares
+    divide exact integer counts, so values are parallelism-
+    independent.
+
+    100-TB shape: token counting is ONE map-side-combining groupBy
+    over the exploded tokens; the global top-N is a distributed
+    TakeOrdered (per-partition top-N, then merge — the full vocabulary
+    is never sorted or collected); rank/cumulative windows run on the
+    N surviving rows only. The corpus total rides along as a
+    broadcast scalar, not a driver round-trip.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    cum = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("share"),
+            F.round(
+                F.sum("n").over(cum).cast("double") / F.col("_tot"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
 def corpus_stats(
     df: DataFrame, group_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

@@ -368,6 +368,25 @@ def test_semantic_dedup(spark):
     assert sorted(keep) == [1, 10]
 
 
+def test_vocab_coverage(spark):
+    from graph_data_science_spark.pipeline.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b  c")],  # a:4 b:3 c:2, 9 tokens
+        "doc_id long, text string",
+    )
+    rows = vocab_coverage(docs, top_n=2).collect()
+    assert [(r["rank"], r["token"], r["n"]) for r in rows] == [(1, "a", 4), (2, "b", 3)]
+    assert rows[0]["share"] == round(4 / 9, 6)
+    assert rows[1]["cum_share"] == round(7 / 9, 6)
+    # deterministic tie-break: equal counts order by token ascending
+    ties = vocab_coverage(
+        spark.createDataFrame([(1, "z y z y")], "doc_id long, text string"),
+        top_n=2,
+    ).collect()
+    assert [r["token"] for r in ties] == ["y", "z"]
+
+
 def test_bpe_token_count(spark):
     from graph_data_science_spark.pipeline.text import bpe_token_count, token_count
     from pyspark.sql import functions as F
