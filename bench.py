@@ -176,6 +176,11 @@ def run_pipeline_block(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "mix_corpus",
         "quantize_embeddings",
         "decontaminate",
+        "semantic_dedup",
+        "asof_join",
+        "range_join",
+        "time_rollup",
+        "vocab_coverage",
     ]
     out: dict[str, float] = {}
     for name in names:

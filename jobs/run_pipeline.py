@@ -164,6 +164,25 @@ def _op_ann_topk(spark, df, cfg):
     return ann.similarity_topk(df, df, **cfg)
 
 
+def _op_semantic_dedup(spark, df, cfg):
+    from graph_data_science_spark.pipeline import ann
+
+    cfg.setdefault("dim", len(df.select("embedding").first()[0]))
+    return ann.semantic_dedup(df, **cfg)
+
+
+def _op_vocab_coverage(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.vocab_coverage(df, **cfg)
+
+
+def _op_time_rollup(spark, df, cfg):
+    from graph_data_science_spark.pipeline import temporal
+
+    return temporal.time_rollup(df, **cfg)
+
+
 OPERATORS = {
     "exact_dedup": _op_exact_dedup,
     "minhash_lsh": _op_minhash_lsh,
@@ -184,6 +203,9 @@ OPERATORS = {
     "weighted_sample": _op_weighted_sample,
     "quantize_embeddings": _op_quantize,
     "ann_topk": _op_ann_topk,
+    "semantic_dedup": _op_semantic_dedup,
+    "vocab_coverage": _op_vocab_coverage,
+    "time_rollup": _op_time_rollup,
 }
 
 
