@@ -869,6 +869,25 @@ def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_keywords(docs, k=3)
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (pipeline.text.lm_perplexity,
+    CCNet-style corpus filter): train add-1-smoothed bigram counts on
+    the corpus itself, score every doc's average negative log-prob and
+    perplexity under that model. Per-bigram terms are rounded to 9 dp
+    and summed as DECIMAL, so the result is parallelism-independent
+    and value-exact in ANSI SQL."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.lm_perplexity(docs)
+
+
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training kernel (pipeline.text.bpe_pair_counts):
+    corpus-wide top-50 adjacent character-pair counts within tokens —
+    the count pass of one BPE merge round, ties broken by pair."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, top_n=50)
+
+
 def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing (pipeline.sampling.mix_corpus): downsample to a
     40/30/20/10 token mixture over src0..src3 (other sources
@@ -2729,6 +2748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": _q_mix_corpus,
         "quantize_embeddings": _q_quantize_embeddings,
         "tfidf_keywords": _q_tfidf_keywords,
+        "lm_perplexity": _q_lm_perplexity,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
         "weighted_sample": _q_weighted_sample,
         "sample_token_budget": _q_sample_token_budget,
@@ -3387,6 +3408,55 @@ r AS (
 SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", word AS keyword,
        CAST(tf AS BIGINT) AS tf, score
 FROM r WHERE "rank" <= 3
+""",
+        "lm_perplexity": f"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='text')} AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg FROM idx
+),
+cbg AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+cw1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+term AS (
+  SELECT big.doc_id,
+         CAST(ROUND(-ln((cbg.c12 + 1.0) / (cw1.c1 + 1.0 * v.v)), 9)
+              AS DECIMAL(18,9)) AS nlp
+  FROM big JOIN cbg USING (bg) JOIN cw1 USING (w1), v
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+  FROM term GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_neg_logprob,
+       ROUND(exp(avg_neg_logprob), 6) AS perplexity
+FROM agg
+""",
+        "bpe_pair_counts": f"""
+WITH t AS (
+  SELECT {DOC_TOKENS.format(col='text')} AS toks FROM documents
+),
+tok AS (SELECT unnest(toks) AS tok FROM t),
+idx AS (
+  SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+  FROM tok WHERE length(tok) >= 2
+),
+c AS (
+  SELECT substring(tok, i, 2) AS pair, COUNT(*) AS n FROM idx GROUP BY pair
+),
+r AS (
+  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS "rank" FROM c
+)
+SELECT CAST("rank" AS INTEGER) AS "rank", pair, n FROM r WHERE "rank" <= 50
 """,
         "mix_corpus": rf"""
 WITH t AS (

@@ -455,3 +455,148 @@ def corpus_stats(
         )
         .withColumn("n_docs", F.col("n_docs").cast("long"))
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained bigram-LM quality scoring -> (id, n_bigrams,
+    avg_neg_logprob, perplexity), one row per document with >= 2
+    tokens.
+
+    The CCNet-style quality filter: train a bigram language model on
+    the corpus itself, then score every document by how predictable
+    it is under that model — boilerplate and templated spam score low
+    perplexity, lorem-ipsum noise scores high, and the middle band is
+    what you keep. The model is add-alpha smoothed MLE:
+
+        p(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 .) + alpha * V)
+
+    with c(w1 .) the count of w1 in bigram-first position and V the
+    corpus unigram vocabulary size, so probabilities per history sum
+    to 1 and alpha=1 keeps every ratio a ratio of integers.
+
+    Determinism: each bigram's -ln p term is rounded to 9 dp and
+    summed as DECIMAL (exact, order-independent), so the per-doc
+    average is bit-identical at any parallelism and reproducible in
+    ANSI SQL; avg_neg_logprob rounds to 6 dp and perplexity =
+    exp(avg) to 6 dp.
+
+    100-TB shape: two map-side-combining groupBys build the model
+    (bigram counts keyed by the bigram, history counts keyed by the
+    first word); scoring is one shuffle join of the exploded corpus
+    against the model on the bigram key — AQE broadcasts the model
+    when the vocabulary is small, falls back to a plain shuffle join
+    when web-scale bigram types exceed memory. V rides along as a
+    broadcast scalar. No Python in the hot path.
+    """
+    from graph_data_science_spark.util import widen_scan
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    toks = tokens(F.col(text_col))
+    base = widen_scan(df).select(F.col(id_col), toks.alias("_t"))
+    # (id, w1, bigram) — one row per adjacent token pair
+    big = base.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    # read three ways (bigram counts, history counts, scoring) with
+    # different shuffle keys — persist so the explode runs once
+    big = big.persist()
+    c_bg = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c_w1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    term = (
+        big.join(c_bg, "bg")
+        .join(c_w1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                -F.log(
+                    (F.col("c12").cast("double") + F.lit(float(alpha)))
+                    / (
+                        F.col("c1").cast("double")
+                        + F.lit(float(alpha)) * F.col("v").cast("double")
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("_nlp"),
+        )
+    )
+    out = (
+        term.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("_nlp").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_neg_logprob"),
+        )
+        .withColumn(
+            "perplexity", F.round(F.exp(F.col("avg_neg_logprob")), 6)
+        )
+    )
+    return out
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """(rank, pair, n) — corpus-wide adjacent character-pair
+    frequencies within whitespace tokens, the inner kernel of BPE
+    tokenizer training (each merge round picks argmax-count pair,
+    re-segments, repeats; this operator is that count pass, the part
+    that touches all 100 TB — the merge bookkeeping is O(vocab) on
+    the driver).
+
+    Ties break by pair ascending so ranks are deterministic. Counts
+    are exact integers.
+
+    100-TB shape: one generate (substring enumeration, pure JVM
+    column exprs inside whole-stage codegen) feeding one
+    map-side-combining groupBy keyed by the pair; the global top-N is
+    a distributed TakeOrdered (per-partition top-N then merge — the
+    pair table is never globally sorted); the rank window runs on N
+    surviving rows only.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    from pyspark.sql import Window
+
+    from graph_data_science_spark.util import widen_scan
+
+    tok = F.explode(tokens(F.col(text_col))).alias("tok")
+    pairs = (
+        widen_scan(df)
+        .select(tok)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("tok") - 1, F.lit(1))),
+                    lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .where(F.length("pair") == 2)
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "pair", "n"
+    )

@@ -1,0 +1,106 @@
+"""lm_perplexity and bpe_pair_counts against pure-Python oracles:
+hand-built bigram-LM scoring (add-alpha smoothed MLE with the
+bigram-first-position history counts) and brute-force character-pair
+counting, over deterministic small corpora."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from graph_data_science_spark.pipeline import text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _py_lm(texts, alpha=1.0):
+    """Reference scores: dict doc_id -> (n_bigrams, avg_nlp, ppl)."""
+    bigrams, firsts, vocab = Counter(), Counter(), set()
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    for ts in toks.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bigrams[(a, b)] += 1
+            firsts[a] += 1
+    out = {}
+    v = len(vocab)
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        terms = [
+            round(
+                -math.log((bigrams[p] + alpha) / (firsts[p[0]] + alpha * v)), 9
+            )
+            for p in pairs
+        ]
+        avg = round(sum(terms) / len(pairs), 6)
+        out[i] = (len(pairs), avg, round(math.exp(avg), 6))
+    return out
+
+
+def test_lm_perplexity_matches_python_oracle(spark):
+    texts = [
+        "a b a b c",
+        "a b a b a b",
+        "c c c c",
+        "b a",
+        "solo",  # 1 token -> no bigrams -> no output row
+    ]
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"], r["perplexity"])
+        for r in text.lm_perplexity(_docs(spark, texts)).collect()
+    }
+    assert got == _py_lm(texts)
+
+
+def test_lm_perplexity_boilerplate_scores_lower(spark):
+    # 9 identical template docs + 1 shuffled-vocab doc: the template
+    # must be more predictable (lower perplexity) than the outlier.
+    texts = ["the quick brown fox jumps over the lazy dog"] * 9 + [
+        "dog the over fox quick lazy jumps brown the"
+    ]
+    rows = {
+        r["doc_id"]: r["perplexity"]
+        for r in text.lm_perplexity(_docs(spark, texts)).collect()
+    }
+    assert rows[0] < rows[9]
+
+
+def test_lm_perplexity_rejects_bad_alpha(spark):
+    with pytest.raises(ValueError):
+        text.lm_perplexity(_docs(spark, ["a b"]), alpha=0.0)
+
+
+def test_bpe_pair_counts_matches_python_oracle(spark):
+    texts = ["abab cd x", "abc abc", "zz zz zz"]
+    counts = Counter()
+    for t in texts:
+        for tok in t.split():
+            for i in range(len(tok) - 1):
+                counts[tok[i : i + 2]] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r["pair"], r["n"])
+        for r in text.bpe_pair_counts(_docs(spark, texts), top_n=100)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+    # single-char tokens contribute nothing; ranks are 1..k dense
+    ranks = [
+        r["rank"]
+        for r in text.bpe_pair_counts(_docs(spark, texts), top_n=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert ranks == [1, 2, 3]
+
+
+def test_bpe_pair_counts_rejects_bad_top_n(spark):
+    with pytest.raises(ValueError):
+        text.bpe_pair_counts(_docs(spark, ["ab"]), top_n=0)
