@@ -2501,6 +2501,35 @@ def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup over the input_hint transcript shape
+    (sources.transcripts.conversation_stats): turn counts by role,
+    distinct tools, token mass, wall-clock span — one combining
+    groupBy keyed by conv_id."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return tr.conversation_stats(t)
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus export -> re-import round-trip
+    (pipeline.corpus_io): the re-read document set must equal the
+    original exactly under the original schema (FAILFAST re-ingest,
+    no inference scan)."""
+    import shutil
+    import tempfile
+
+    from graph_data_science_spark.pipeline import corpus_io
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="gds_jsonl_rt_")
+    try:
+        return corpus_io.jsonl_roundtrip_report(docs, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 GS_DIM = 8
 
 
@@ -2711,6 +2740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cutoff costs the least evidence.
     return {
         "transcripts": _q_transcripts,
+        "conversation_stats": _q_conversation_stats,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "pagerank": _q_pagerank,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -4392,6 +4423,38 @@ SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
        event_type AS tool,
        CAST(epoch_us(ts) AS BIGINT) AS ts_us
 FROM turns
+""",
+        "conversation_stats": rf"""
+WITH turns AS (
+  SELECT user_id, event_type AS tool, props AS text, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+tc AS (
+  SELECT user_id, turn_idx, tool, ts,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len({DOC_TOKENS.format(col='text')}) END AS n_tok
+  FROM turns
+)
+SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN turn_idx % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user_turns,
+       CAST(SUM(CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant_turns,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS avg_turn_tokens,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM tc GROUP BY user_id
+""",
+        "jsonl_roundtrip": """
+SELECT (SELECT COUNT(*) FROM documents) AS n_rows,
+       (SELECT COUNT(*) FROM documents) AS n_reimported,
+       CAST(0 AS BIGINT) AS n_missing,
+       CAST(0 AS BIGINT) AS n_extra,
+       TRUE AS schema_preserved
 """,
         "link_prediction": """
 SELECT TRUE AS topn_bounded,

@@ -58,3 +58,50 @@ def transcript_graph(
         edges=projection.transcript_edges(read_transcripts(spark, source)),
         directed=True,
     )
+
+def conversation_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation rollup over the canonical transcript table ->
+    (conv_id, n_turns, n_user_turns, n_assistant_turns, n_tools,
+    total_tokens, avg_turn_tokens, duration_us).
+
+    The transcript-side "what's in this corpus" report: turn counts by
+    role, distinct tools invoked, whitespace-token mass, and the
+    conversation's wall-clock span in epoch microseconds.
+
+    100-TB shape: ONE map-side-combining groupBy keyed by conv_id —
+    token counting and role flags are pure JVM column exprs inside the
+    scan, so the shuffle carries only partial aggregates. Distinct
+    tools use a per-group exact count_distinct (two-phase under AQE);
+    at extreme cardinality swap for approx_count_distinct with the
+    same plan shape.
+    """
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.pipeline.text import token_count
+
+    n_tok = F.when(
+        F.col("text").isNotNull(), token_count(F.col("text"))
+    ).otherwise(F.lit(0))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        df.select(
+            "conv_id",
+            F.when(F.col("role") == "user", 1).otherwise(0).alias("_u"),
+            F.when(F.col("role") == "assistant", 1).otherwise(0).alias("_a"),
+            "tool",
+            n_tok.alias("_t"),
+            us.alias("_us"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("_u").cast("long").alias("n_user_turns"),
+            F.sum("_a").cast("long").alias("n_assistant_turns"),
+            F.count_distinct("tool").cast("long").alias("n_tools"),
+            F.sum("_t").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("_t").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_turn_tokens"),
+            (F.max("_us") - F.min("_us")).cast("long").alias("duration_us"),
+        )
+    )
