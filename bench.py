@@ -181,6 +181,9 @@ def run_pipeline_block(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "range_join",
         "time_rollup",
         "vocab_coverage",
+        "lm_perplexity",
+        "bpe_pair_counts",
+        "conversation_stats",
     ]
     out: dict[str, float] = {}
     for name in names:
