@@ -2512,6 +2512,58 @@ def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.conversation_stats(t)
 
 
+def _q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conversation-level dedup
+    (sources.transcripts.conversation_dedup): md5 of the ordered turn
+    texts (US-joined) groups identical conversations; min conv_id is
+    the representative."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return tr.conversation_dedup(t)
+
+
+def _q_transcript_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation ingest validation
+    (sources.transcripts.transcript_validate): dense turn indexes,
+    non-decreasing timestamps, null-text count, role-alternation
+    fraction — one conv-keyed window fused with one groupBy."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return tr.transcript_validate(t)
+
+
+def _q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-latency distribution by responding role
+    (sources.transcripts.turn_latency): exact interpolated p50/p95 of
+    consecutive-turn timestamp gaps, value-identical to DuckDB
+    quantile_cont."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return tr.turn_latency(t)
+
+
+def _q_tool_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call sequence mining (sources.transcripts.tool_sequences):
+    top consecutive tool pairs across conversations — the Markov-edge
+    view of agent tool usage."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return tr.tool_sequences(t, top_n=30)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit document packing into token-budget training
+    sequences (pipeline.text.pack_sequences): budget=256, 8 shards —
+    the per-shard recurrence is reproduced exactly by a recursive-CTE
+    oracle."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, budget=256, n_shards=8)
+
+
 def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL corpus export -> re-import round-trip
     (pipeline.corpus_io): the re-read document set must equal the
@@ -2741,6 +2793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
         "conversation_stats": _q_conversation_stats,
+        "conversation_dedup": _q_conversation_dedup,
+        "transcript_validate": _q_transcript_validate,
+        "turn_latency": _q_turn_latency,
+        "tool_sequences": _q_tool_sequences,
+        "pack_sequences": _q_pack_sequences,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "pagerank": _q_pagerank,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -4448,6 +4505,116 @@ SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
        ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS avg_turn_tokens,
        CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
 FROM tc GROUP BY user_id
+""",
+        "conversation_dedup": """
+WITH turns AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, props AS text,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+per AS (
+  SELECT conv_id,
+         md5(string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx)) AS h
+  FROM turns GROUP BY conv_id
+),
+g AS (SELECT h, MIN(conv_id) AS group_id FROM per GROUP BY h)
+SELECT per.conv_id, g.group_id,
+       per.conv_id <> g.group_id AS is_duplicate
+FROM per JOIN g USING (h)
+""",
+        "transcript_validate": """
+WITH turns AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, props AS text, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+t2 AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         epoch_us(ts) AS us
+  FROM turns
+),
+lagged AS (
+  SELECT conv_id, turn_idx, role, text, us,
+         lag(us) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_us,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM t2
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       (MIN(turn_idx) = 0 AND MAX(turn_idx) = COUNT(*) - 1
+        AND COUNT(DISTINCT turn_idx) = COUNT(*)) AS dense_turns,
+       coalesce(bool_and(us >= prev_us) FILTER (prev_us IS NOT NULL), TRUE)
+         AS ts_monotone,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_text,
+       ROUND(AVG(CASE WHEN prev_role IS NOT NULL THEN
+                   CASE WHEN role <> prev_role THEN 1.0 ELSE 0.0 END END), 6)
+         AS role_alternation_frac
+FROM lagged GROUP BY conv_id
+""",
+        "turn_latency": """
+WITH turns AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+g AS (
+  SELECT CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY turn_idx) AS gap
+  FROM turns
+)
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap), 4) AS avg_gap_us,
+       ROUND(quantile_cont(gap, 0.5), 4) AS p50_gap_us,
+       ROUND(quantile_cont(gap, 0.95), 4) AS p95_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY role
+""",
+        "tool_sequences": """
+WITH turns AS (
+  SELECT user_id, event_type AS tool,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+p AS (
+  SELECT tool AS tool_1,
+         lead(tool) OVER (PARTITION BY user_id ORDER BY turn_idx) AS tool_2
+  FROM turns
+),
+c AS (
+  SELECT tool_1, tool_2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE tool_1 IS NOT NULL AND tool_2 IS NOT NULL
+  GROUP BY tool_1, tool_2
+),
+r AS (
+  SELECT tool_1, tool_2, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, tool_1, tool_2) AS "rank"
+  FROM c
+)
+SELECT CAST("rank" AS INTEGER) AS "rank", tool_1, tool_2, n
+FROM r WHERE "rank" <= 30
+""",
+        "pack_sequences": f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+         CAST(len({DOC_TOKENS.format(col='text')}) AS BIGINT) AS w,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, rn, doc_id, w, CAST(0 AS BIGINT) AS bin_idx, w AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.w,
+         CASE WHEN p.fill + t.w <= 256 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         CASE WHEN p.fill + t.w <= 256 THEN p.fill + t.w ELSE t.w END
+  FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin_idx, w AS n_tokens FROM pack
 """,
         "jsonl_roundtrip": """
 SELECT (SELECT COUNT(*) FROM documents) AS n_rows,

@@ -184,6 +184,8 @@ def run_pipeline_block(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "lm_perplexity",
         "bpe_pair_counts",
         "conversation_stats",
+        "conversation_dedup",
+        "pack_sequences",
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -287,6 +287,66 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy next-fit packing of documents into fixed token-budget
+    training sequences -> (doc_id, shard, bin_idx, n_tokens).
+
+    The sequence-assembly pass of a pretraining pipeline: documents
+    are dealt into ``n_shards`` independent shards (``pmod(doc_id,
+    n_shards)`` — deterministic, so the SQL oracle reproduces the
+    exact assignment), and within each shard, in doc_id order, each
+    document joins the current bin if it still fits (``fill + w <=
+    budget``) else opens the next bin. A document longer than the
+    budget gets a bin of its own (standard practice; pre-split such
+    docs with chunk_documents if that is unwanted).
+
+    100-TB shape: the next-fit recurrence is inherently sequential, so
+    it runs as ONE applyInPandas pass per shard over numpy arrays
+    (Arrow batches, no per-row Python serialization); token counting
+    stays JVM-side before the shuffle, so the exchange carries only
+    (doc_id, shard, n_tokens). Shards bound the sequential extent AND
+    the per-task memory (applyInPandas materializes one group): at
+    100 TB set n_shards to the output training-shard count (thousands),
+    so each task packs one bounded shard independently.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        w = pdf["n_tokens"].to_numpy()
+        bins = np.zeros(len(w), dtype=np.int64)
+        fill, b = 0, 0
+        for i, x in enumerate(w):
+            if i > 0 and fill + x > budget:
+                b += 1
+                fill = 0
+            fill += x
+            bins[i] = b
+        pdf["bin_idx"] = bins
+        return pdf[["doc_id", "shard", "bin_idx", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        _pack, "doc_id long, shard int, bin_idx long, n_tokens long"
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """(…, fingerprint) — min md5 over word n-gram shingles.
 

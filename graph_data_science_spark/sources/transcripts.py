@@ -59,6 +59,183 @@ def transcript_graph(
         directed=True,
     )
 
+def conversation_dedup(df: DataFrame) -> DataFrame:
+    """Exact conversation-level dedup -> (conv_id, group_id,
+    is_duplicate): two conversations are duplicates when their full
+    turn-text sequences are identical under stable turn ordering
+    (the north rule's per-turn text-equality invariant, lifted to a
+    whole-conversation fingerprint).
+
+    Fingerprint = md5 of the turn texts joined by the US separator
+    (0x1f) in turn_idx order, nulls normalized to ''. group_id is the
+    minimum conv_id sharing a fingerprint (same representative rule as
+    pipeline.dedup.exact_duplicates).
+
+    100-TB shape: one map-side-combining groupBy keyed by conv_id
+    (collect_list partials merge per partition; conversations are
+    bounded, so the per-group array is too), then the representative
+    is a min-over-window keyed by the 16-byte fingerprint — a single
+    pass over the input (a groupBy+self-join here would rescan the
+    table to rebuild the fingerprints; the window exchanges only
+    (conv_id, hash) rows).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("i"),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            )
+        )
+    )
+    per = df.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(F.transform(arr, lambda s: s["text"]), "\x1f")
+        ).alias("_h")
+    )
+    return per.select(
+        "conv_id",
+        F.min("conv_id").over(Window.partitionBy("_h")).alias("group_id"),
+    ).select(
+        "conv_id",
+        "group_id",
+        (F.col("conv_id") != F.col("group_id")).alias("is_duplicate"),
+    )
+
+
+def transcript_validate(df: DataFrame) -> DataFrame:
+    """Per-conversation data-quality report -> (conv_id, n_turns,
+    dense_turns, ts_monotone, n_null_text, role_alternation_frac).
+
+    The ingest-validation pass a transcript pipeline runs before any
+    graph is projected: turn indexes must be dense 0..n-1 (dense_turns),
+    timestamps must be non-decreasing in turn order (ts_monotone),
+    and role_alternation_frac reports how often consecutive turns
+    switch speaker (NULL for single-turn conversations).
+
+    100-TB shape: one window keyed by conv_id (lag of ts/role) fused
+    with one combining groupBy on the same key — a single shuffle, and
+    the window's sort feeds the aggregation without a second exchange.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        us.alias("_us"),
+    ).select(
+        "*",
+        F.lag("_us").over(w).alias("_prev_us"),
+        F.lag("role").over(w).alias("_prev_role"),
+    )
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (
+            (F.min("turn_idx") == F.lit(0))
+            & (F.max("turn_idx") == (F.count(F.lit(1)) - 1).cast("int"))
+            & (F.count_distinct("turn_idx") == F.count(F.lit(1)))
+        ).alias("dense_turns"),
+        F.coalesce(
+            F.every(
+                F.when(
+                    F.col("_prev_us").isNotNull(),
+                    F.col("_us") >= F.col("_prev_us"),
+                )
+            ),
+            F.lit(True),
+        ).alias("ts_monotone"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("_prev_role").isNotNull(),
+                    (F.col("role") != F.col("_prev_role")).cast("double"),
+                )
+            ),
+            6,
+        ).alias("role_alternation_frac"),
+    )
+
+
+def turn_latency(df: DataFrame) -> DataFrame:
+    """Reply-latency distribution by responding role -> (role, n_gaps,
+    avg_gap_us, p50_gap_us, p95_gap_us).
+
+    Gap = the responder's ts minus the previous turn's ts within the
+    same conversation (turn_idx order), attributed to the LATER
+    turn's role — "how long do users wait for the assistant" and
+    vice versa. Percentiles are exact interpolated (percentile_cont
+    semantics, value-identical to DuckDB quantile_cont); at 100 TB
+    swap F.percentile for F.percentile_approx — same plan shape.
+
+    100-TB shape: one conv-keyed window for the lag, then one
+    combining groupBy over a handful of roles.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        df.select("conv_id", "turn_idx", "role", us.alias("_us"))
+        .select("role", (F.col("_us") - F.lag("_us").over(w)).alias("gap"))
+        .where(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_us"),
+        F.round(F.percentile("gap", F.lit(0.5)), 4).alias("p50_gap_us"),
+        F.round(F.percentile("gap", F.lit(0.95)), 4).alias("p95_gap_us"),
+    )
+
+
+def tool_sequences(df: DataFrame, top_n: int = 30) -> DataFrame:
+    """Most frequent consecutive tool pairs across conversations ->
+    (rank, tool_1, tool_2, n): which tool follows which — the
+    sequence-mining view of agent behavior (tool-call Markov edges).
+
+    Pairs are consecutive turns within a conversation in turn_idx
+    order where both turns carry a tool; rank orders by count desc,
+    ties by (tool_1, tool_2).
+
+    100-TB shape: one conv-keyed window (lead), one combining groupBy
+    on the pair (cardinality = |tools|^2, tiny), then a distributed
+    TakeOrdered for the top-N — no global sort materialization.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        df.select("conv_id", "turn_idx", "tool")
+        .select(
+            F.col("tool").alias("tool_1"),
+            F.lead("tool").over(w).alias("tool_2"),
+        )
+        .where(F.col("tool_1").isNotNull() & F.col("tool_2").isNotNull())
+    )
+    counts = pairs.groupBy("tool_1", "tool_2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), "tool_1", "tool_2").limit(top_n)
+    rw = Window.orderBy(F.desc("n"), "tool_1", "tool_2")
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"),
+        "tool_1",
+        "tool_2",
+        "n",
+    )
+
+
 def conversation_stats(df: DataFrame) -> DataFrame:
     """Per-conversation rollup over the canonical transcript table ->
     (conv_id, n_turns, n_user_turns, n_assistant_turns, n_tools,
