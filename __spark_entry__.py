@@ -1033,6 +1033,15 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact Lloyd k-means (pipeline.ann.kmeans_lloyd):
+    k=8, 2 iterations, init = vectors of the 8 smallest vec_ids —
+    value-exact vs a DuckDB mirror (sequential float64 distance folds,
+    DECIMAL centroid sums)."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.kmeans_lloyd(emb, k=8, iterations=2)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.load_table(spark, sf_dir, "documents")
     return text.vocab_coverage(docs, top_n=100)
@@ -2854,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "cosine_near_duplicates": _q_cosine_near_dups,
         "semantic_dedup": _q_semantic_dedup,
+        "kmeans_clusters": _q_kmeans_clusters,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
@@ -3737,6 +3747,55 @@ SELECT c10.id AS doc_id, c10.comp AS cluster_id, s.cluster_size,
 FROM c10
 JOIN (SELECT comp, COUNT(*) AS cluster_size FROM c10 GROUP BY comp) s
   ON s.comp = c10.comp
+""",
+        "kmeans_clusters": """
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6)) AS v
+  FROM embeddings
+),
+init AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+  FROM e ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+  SELECT e.vec_id, i.cid,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, i.v),
+           z -> (z[1]-z[2])*(z[1]-z[2]))), (acc,t) -> acc+t) AS d
+  FROM e, init i
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM d1
+),
+dims AS (SELECT unnest(generate_series(1, (SELECT MAX(len(v)) FROM e))) AS i),
+m1 AS (
+  SELECT a1.cluster, dims.i,
+         ROUND(CAST(SUM(CAST(e.v[dims.i] AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM a1 JOIN e USING (vec_id), dims
+  WHERE a1.rn = 1
+  GROUP BY a1.cluster, dims.i
+),
+c1 AS (SELECT cluster AS cid, list(m ORDER BY i) AS v FROM m1 GROUP BY cluster),
+cent1 AS MATERIALIZED (
+  SELECT init.cid, COALESCE(c1.v, init.v) AS v
+  FROM init LEFT JOIN c1 USING (cid)
+),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_prepend(0.0, list_transform(list_zip(e.v, c.v),
+           z -> (z[1]-z[2])*(z[1]-z[2]))), (acc,t) -> acc+t) AS d
+  FROM e, cent1 c
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM d2
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, ROUND(d, 6) AS dist2
+FROM a2 WHERE rn = 1
 """,
         "ann_cosine_topk": """
 WITH e AS (

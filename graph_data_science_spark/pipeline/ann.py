@@ -462,6 +462,107 @@ def cosine_near_duplicates(
     )
 
 
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance — left-to-right float64 fold (identical
+    sequential expression in the SQL oracle, so bit-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic exact Lloyd k-means over an embedding column ->
+    (vec_id, cluster, dist2) — the corpus-curation clustering pass
+    (SemDeDup-style cluster-then-dedup, IVF codebook training) with a
+    fully value-exact ANSI-SQL mirror, unlike Spark ML's sampled init.
+
+    Determinism contract: init centroids are the vectors of the k
+    smallest ids; components quantize to 6 dp doubles up front;
+    per-centroid distances are sequential float64 folds (same
+    expression in SQL); centroid means sum components as
+    DECIMAL(18,6) (exact, order-independent) and re-round to 6 dp;
+    argmin ties break by cluster id. Every step is reproducible at
+    any parallelism and in the DuckDB oracle. An empty cluster keeps
+    its previous centroid.
+
+    100-TB shape: one assignment pass per iteration is a pure
+    column-expression scan (k in-row folds, no join — the codebook
+    rides in the plan as literals, exactly how the IVF probe
+    broadcasts its codebook); the means are one posexplode +
+    map-side-combining groupBy on (cluster, dim) — partials bounded
+    by k x dim per partition regardless of row count. Driver holds
+    only the k x dim codebook between iterations.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    q = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
+        ).alias("v"),
+    ).persist()
+    init = q.orderBy("vec_id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(row["v"])) for i, row in enumerate(init)
+    ]
+    assign = None
+    for it in range(iterations):
+        structs = [
+            F.struct(
+                _dist2(
+                    F.col("v"), F.array(*[F.lit(float(c)) for c in vec])
+                ).alias("d"),
+                F.lit(cid).cast("int").alias("c"),
+            )
+            for cid, vec in cents
+        ]
+        assign = q.select(
+            "vec_id", "v", F.array_min(F.array(*structs)).alias("_m")
+        ).select(
+            "vec_id",
+            "v",
+            F.col("_m.c").alias("cluster"),
+            F.col("_m.d").alias("dist2"),
+        )
+        if it < iterations - 1:
+            comp = assign.select(
+                "cluster", F.posexplode("v").alias("i", "x")
+            )
+            means = comp.groupBy("cluster", "i").agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("m")
+            )
+            rows = (
+                means.groupBy("cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "m"))
+                    ).alias("a")
+                )
+                .collect()
+            )  # k x dim codebook — bounded, driver-side by design
+            new = {r["cluster"]: [s["m"] for s in r["a"]] for r in rows}
+            cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    # q stays persisted: the returned plan still reads it (same
+    # keep-cache-alive rule as verify_candidates' shingle cache)
+    return assign.select(
+        "vec_id", "cluster", F.round(F.col("dist2"), 6).alias("dist2")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
