@@ -1033,6 +1033,25 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic keep/drop filter
+    (pipeline.text.corpus_filter): token band, alpha ratio, distinct
+    ratio, stopword floor, mean word length — per-rule reasons, pure
+    codegen column exprs."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.corpus_filter(docs)
+
+
+def _q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering of transcripts into SFT training text
+    (sources.transcripts.render_chat): `<|role|> text` lines joined in
+    turn order, with rendered token counts."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return tr.render_chat(t)
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact Lloyd k-means (pipeline.ann.kmeans_lloyd):
     k=8, 2 iterations, init = vectors of the 8 smallest vec_ids —
@@ -2864,6 +2883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_duplicates": _q_cosine_near_dups,
         "semantic_dedup": _q_semantic_dedup,
         "kmeans_clusters": _q_kmeans_clusters,
+        "corpus_filter": _q_corpus_filter,
+        "render_chat": _q_render_chat,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
@@ -3747,6 +3768,66 @@ SELECT c10.id AS doc_id, c10.comp AS cluster_id, s.cluster_size,
 FROM c10
 JOIN (SELECT comp, COUNT(*) AS cluster_size FROM c10 GROUP BY comp) s
   ON s.comp = c10.comp
+""",
+        "corpus_filter": rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS len,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         {DOC_TOKENS.format(col='lower(text)')} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN len > 0 THEN CAST(alpha AS DOUBLE) / len ELSE 0.0 END
+           AS alpha_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS distinct_ratio,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], x)))
+           AS stop_hits,
+         CASE WHEN len(toks) > 0
+              THEN CAST(nonspace AS DOUBLE) / len(toks) END AS mean_wl
+  FROM t
+),
+r AS (
+  SELECT doc_id, n,
+         COALESCE(array_to_string(list_filter([
+           CASE WHEN n < 5 THEN 'too_short' END,
+           CASE WHEN n > 2000 THEN 'too_long' END,
+           CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
+           CASE WHEN distinct_ratio < 0.3 THEN 'repetitive' END,
+           CASE WHEN stop_hits < 2 THEN 'low_stopword' END,
+           CASE WHEN COALESCE(mean_wl < 2.0 OR mean_wl > 12.0, TRUE)
+                THEN 'bad_word_len' END
+         ], x -> x IS NOT NULL), ','), '') AS reasons
+  FROM m
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       reasons = '' AS keep, reasons
+FROM r
+""",
+        "render_chat": f"""
+WITH turns AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, props AS text,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+r AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         string_agg(
+           '<|' || CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END || '|> ' || coalesce(text, ''),
+           chr(10) ORDER BY turn_idx) AS text
+  FROM turns GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       CAST(len({DOC_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens,
+       text
+FROM r
 """,
         "kmeans_clusters": """
 WITH e AS MATERIALIZED (

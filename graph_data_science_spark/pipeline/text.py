@@ -287,6 +287,77 @@ def chunk_documents(
     )
 
 
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 2000,
+    min_alpha_ratio: float = 0.5,
+    min_distinct_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+    mean_word_len_range: tuple[float, float] = (2.0, 12.0),
+) -> DataFrame:
+    """Gopher/C4-style heuristic corpus filter -> (doc_id, n_tokens,
+    keep, reasons): apply the standard pretraining keep/drop rules and
+    report every violated rule, not just the verdict.
+
+    Rules (each a reason tag when violated): too_short / too_long
+    (token-count band), low_alpha (alphabetic-character ratio),
+    repetitive (distinct-token ratio — the cheap Gopher repetition
+    gate; repetition_stats has the full top-k coverage variants),
+    low_stopword (fewer than ``min_stopword_hits`` hits of the
+    10-word English stopword list — Gopher's >=2-stopwords rule),
+    bad_word_len (mean non-space word length outside the given band).
+    ``reasons`` is a comma-joined string in fixed rule order, so the
+    output is value-exact in SQL.
+
+    100-TB shape: pure JVM column expressions fused into the scan
+    (whole-stage codegen, no shuffle, no Python) — the filter runs at
+    I/O speed and Catalyst pushes upstream column pruning through it.
+    """
+    lo, hi = mean_word_len_range
+    text = F.col(text_col)
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    length = F.length(text)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(_EN_STOPWORDS)))
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_wl = F.when(n > 0, nonspace.cast("double") / n.cast("double"))
+    alpha_ratio = F.when(length > 0, alpha.cast("double") / length).otherwise(0.0)
+    distinct_ratio = F.when(n > 0, nd.cast("double") / n.cast("double")).otherwise(
+        0.0
+    )
+    rules = [
+        ("too_short", n < min_tokens),
+        ("too_long", n > max_tokens),
+        ("low_alpha", alpha_ratio < min_alpha_ratio),
+        ("repetitive", distinct_ratio < min_distinct_ratio),
+        ("low_stopword", stop_hits < min_stopword_hits),
+        ("bad_word_len", F.coalesce((mean_wl < lo) | (mean_wl > hi), F.lit(True))),
+    ]
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(tag)).otherwise(F.lit(None).cast("string"))
+                    for tag, cond in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 256,

@@ -236,6 +236,54 @@ def tool_sequences(df: DataFrame, top_n: int = 30) -> DataFrame:
     )
 
 
+def render_chat(df: DataFrame) -> DataFrame:
+    """Render conversations into training text -> (conv_id, n_turns,
+    n_tokens, text): each turn becomes ``<|role|> text`` and turns
+    join with newlines in turn_idx order — the chat-template pass
+    that turns a transcript table into an SFT corpus (feed the result
+    to corpus_filter / pack_sequences / dedup downstream).
+
+    Null turn texts render as empty strings so the template stays
+    positional. n_tokens counts whitespace tokens of the rendered
+    text (role markers included, matching what a tokenizer sees).
+
+    100-TB shape: one map-side-combining groupBy keyed by conv_id;
+    the per-turn render is a JVM string expression inside the scan.
+    Conversations are bounded (turn counts, not corpus size), so the
+    collected per-group array is too.
+    """
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.pipeline.text import token_count
+
+    line = F.concat(
+        F.lit("<|"),
+        F.col("role"),
+        F.lit("|> "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("turn_idx").alias("i"), line.alias("line"))
+        )
+    )
+    return (
+        df.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(arr, lambda s: s["line"]), "\n"
+            ).alias("text"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            "text",
+        )
+    )
+
+
 def conversation_stats(df: DataFrame) -> DataFrame:
     """Per-conversation rollup over the canonical transcript table ->
     (conv_id, n_turns, n_user_turns, n_assistant_turns, n_tools,
