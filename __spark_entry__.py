@@ -888,6 +888,14 @@ def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(docs, top_n=50)
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (pipeline.text.ccnet_buckets):
+    perplexity terciles of the corpus-trained bigram LM, exact
+    interpolated cut points."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.ccnet_buckets(docs)
+
+
 def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing (pipeline.sampling.mix_corpus): downsample to a
     40/30/20/10 token mixture over src0..src3 (other sources
@@ -2865,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "tfidf_keywords": _q_tfidf_keywords,
         "lm_perplexity": _q_lm_perplexity,
+        "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
         "weighted_sample": _q_weighted_sample,
@@ -3559,6 +3568,46 @@ agg AS (
 SELECT doc_id, n_bigrams, avg_neg_logprob,
        ROUND(exp(avg_neg_logprob), 6) AS perplexity
 FROM agg
+""",
+        "ccnet_buckets": f"""
+WITH t AS (
+  SELECT doc_id, {DOC_TOKENS.format(col='text')} AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg FROM idx
+),
+cbg AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+cw1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+term AS (
+  SELECT big.doc_id,
+         CAST(ROUND(-ln((cbg.c12 + 1.0) / (cw1.c1 + 1.0 * v.v)), 9)
+              AS DECIMAL(18,9)) AS nlp
+  FROM big JOIN cbg USING (bg) JOIN cw1 USING (w1), v
+),
+ppl AS MATERIALIZED (
+  SELECT doc_id,
+         ROUND(exp(ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6)), 6)
+           AS perplexity
+  FROM term GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(perplexity, {1.0 / 3.0!r}) AS lo,
+         quantile_cont(perplexity, {2.0 / 3.0!r}) AS hi
+  FROM ppl
+)
+SELECT doc_id, perplexity,
+       CASE WHEN perplexity <= cuts.lo THEN 'head'
+            WHEN perplexity <= cuts.hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl, cuts
 """,
         "bpe_pair_counts": f"""
 WITH t AS (

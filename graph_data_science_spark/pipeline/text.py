@@ -685,6 +685,48 @@ def lm_perplexity(
     return out
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cut_lo: float = 1.0 / 3.0,
+    cut_hi: float = 2.0 / 3.0,
+) -> DataFrame:
+    """CCNet head/middle/tail corpus split -> (id, perplexity,
+    bucket): score every document with the corpus-trained bigram LM
+    (lm_perplexity) and bucket by perplexity terciles — 'head' is the
+    most predictable third (templated/boilerplate-leaning), 'tail'
+    the least (noise-leaning), 'middle' what CCNet-style pipelines
+    keep or upsample.
+
+    Cut points are EXACT interpolated percentiles of the rounded
+    perplexities (percentile_cont semantics), so bucket assignment is
+    parallelism-independent and SQL-reproducible. Documents with < 2
+    tokens have no bigrams and are excluded (as in lm_perplexity).
+
+    100-TB shape: everything lm_perplexity does, plus one two-scalar
+    global aggregate broadcast back onto the scored table — no extra
+    shuffle of the corpus. At extreme scale swap F.percentile for
+    percentile_approx: bucket edges move within sketch error, the
+    plan shape is unchanged.
+    """
+    if not 0.0 < cut_lo < cut_hi < 1.0:
+        raise ValueError("need 0 < cut_lo < cut_hi < 1")
+    scored = lm_perplexity(df, text_col=text_col, id_col=id_col)
+    cuts = scored.agg(
+        F.percentile("perplexity", F.lit(cut_lo)).alias("_lo"),
+        F.percentile("perplexity", F.lit(cut_hi)).alias("_hi"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        "perplexity",
+        F.when(F.col("perplexity") <= F.col("_lo"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame, text_col: str = "text", top_n: int = 50
 ) -> DataFrame:

@@ -104,3 +104,28 @@ def test_bpe_pair_counts_matches_python_oracle(spark):
 def test_bpe_pair_counts_rejects_bad_top_n(spark):
     with pytest.raises(ValueError):
         text.bpe_pair_counts(_docs(spark, ["ab"]), top_n=0)
+
+
+def test_ccnet_buckets_terciles(spark):
+    # 9 docs with distinct perplexities -> exact thirds: doc i is
+    # token t_i repeated i+2 times, so its only bigram has
+    # p = (i+2)/(i+10) and perplexity strictly decreases with i
+    texts = [(f"t{i} " * (i + 2)).strip() for i in range(9)]
+    out = text.ccnet_buckets(_docs(spark, texts)).collect()
+    assert len(out) == 9
+    by_bucket = Counter(r["bucket"] for r in out)
+    # interpolated tercile cuts put 3 docs in each band
+    assert by_bucket == {"head": 3, "middle": 3, "tail": 3}
+    # head holds the LOWEST perplexities
+    ppl = sorted(out, key=lambda r: r["perplexity"])
+    assert [r["bucket"] for r in ppl] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_ccnet_buckets_excludes_short_docs(spark):
+    out = text.ccnet_buckets(_docs(spark, ["single", "two tokens", "a b c"])).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_ccnet_buckets_validation(spark):
+    with pytest.raises(ValueError):
+        text.ccnet_buckets(_docs(spark, ["a b"]), cut_lo=0.7, cut_hi=0.3)
