@@ -186,6 +186,10 @@ def run_pipeline_block(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "conversation_stats",
         "conversation_dedup",
         "pack_sequences",
+        "kmeans_clusters",
+        "ccnet_buckets",
+        "corpus_filter",
+        "render_chat",
     ]
     out: dict[str, float] = {}
     for name in names:
