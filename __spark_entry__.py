@@ -1060,6 +1060,39 @@ def _q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.render_chat(t)
 
 
+def _q_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SFT data build over the transcript table — the
+    composition the pipeline modules exist for: render_chat (chat
+    template) -> corpus_filter (length band; other rules disabled for
+    the markup-heavy rendered text) -> pack_sequences (next-fit into
+    1024-token training bins, 8 shards). Every stage is the same
+    oracled operator the standalone queries verify; the oracle here
+    replays the full chain in one SQL statement."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    rendered = tr.render_chat(t)
+    flags = text.corpus_filter(
+        rendered,
+        text_col="text",
+        id_col="conv_id",
+        min_tokens=200,
+        max_tokens=100000,
+        min_alpha_ratio=0.0,
+        min_distinct_ratio=0.0,
+        min_stopword_hits=0,
+        mean_word_len_range=(1.0, 40.0),
+    )
+    kept = rendered.join(
+        flags.where(F.col("keep")).select("conv_id"), "conv_id"
+    )
+    base = kept.select(
+        F.substring("conv_id", 2, 18).cast("long").alias("doc_id"), "text"
+    )
+    out = text.pack_sequences(base, budget=1024, n_shards=8)
+    return out.withColumnRenamed("doc_id", "conv_num")
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact Lloyd k-means (pipeline.ann.kmeans_lloyd):
     k=8, 2 iterations, init = vectors of the 8 smallest vec_ids —
@@ -2894,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "corpus_filter": _q_corpus_filter,
         "render_chat": _q_render_chat,
+        "sft_pipeline": _q_sft_pipeline,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
@@ -3877,6 +3911,43 @@ SELECT conv_id, n_turns,
        CAST(len({DOC_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens,
        text
 FROM r
+""",
+        "sft_pipeline": f"""
+WITH RECURSIVE turns AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, props AS text,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+r AS MATERIALIZED (
+  SELECT conv_id,
+         string_agg(
+           '<|' || CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END || '|> ' || coalesce(text, ''),
+           chr(10) ORDER BY turn_idx) AS text
+  FROM turns GROUP BY conv_id
+),
+f AS (
+  SELECT CAST(substring(conv_id, 2) AS BIGINT) AS doc_id,
+         CAST(len({DOC_TOKENS.format(col='text')}) AS BIGINT) AS w
+  FROM r
+  WHERE len({DOC_TOKENS.format(col='text')}) BETWEEN 200 AND 100000
+),
+t AS MATERIALIZED (
+  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, w,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM f
+),
+pack AS (
+  SELECT shard, rn, doc_id, w, CAST(0 AS BIGINT) AS bin_idx, w AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.w,
+         CASE WHEN p.fill + t.w <= 1024 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         CASE WHEN p.fill + t.w <= 1024 THEN p.fill + t.w ELSE t.w END
+  FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id AS conv_num, shard, bin_idx, w AS n_tokens FROM pack
 """,
         "kmeans_clusters": """
 WITH e AS MATERIALIZED (
