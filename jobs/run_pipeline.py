@@ -183,6 +183,44 @@ def _op_time_rollup(spark, df, cfg):
     return temporal.time_rollup(df, **cfg)
 
 
+def _op_corpus_filter(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    if "mean_word_len_range" in cfg:
+        cfg["mean_word_len_range"] = tuple(cfg["mean_word_len_range"])
+    return text.corpus_filter(df, **cfg)
+
+
+def _op_pack_sequences(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.pack_sequences(df, **cfg)
+
+
+def _op_ccnet_buckets(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.ccnet_buckets(df, **cfg)
+
+
+def _op_kmeans(spark, df, cfg):
+    from graph_data_science_spark.pipeline import ann
+
+    return ann.kmeans_lloyd(df, **cfg)
+
+
+def _op_render_chat(spark, df, cfg):
+    from graph_data_science_spark.sources import transcripts
+
+    return transcripts.render_chat(df)
+
+
+def _op_conversation_dedup(spark, df, cfg):
+    from graph_data_science_spark.sources import transcripts
+
+    return transcripts.conversation_dedup(df)
+
+
 OPERATORS = {
     "exact_dedup": _op_exact_dedup,
     "minhash_lsh": _op_minhash_lsh,
@@ -206,6 +244,12 @@ OPERATORS = {
     "semantic_dedup": _op_semantic_dedup,
     "vocab_coverage": _op_vocab_coverage,
     "time_rollup": _op_time_rollup,
+    "corpus_filter": _op_corpus_filter,
+    "pack_sequences": _op_pack_sequences,
+    "ccnet_buckets": _op_ccnet_buckets,
+    "kmeans": _op_kmeans,
+    "render_chat": _op_render_chat,
+    "conversation_dedup": _op_conversation_dedup,
 }
 
 
