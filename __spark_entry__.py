@@ -4861,7 +4861,7 @@ FROM r WHERE "rank" <= 30
         "pack_sequences": f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
-         CAST(len({DOC_TOKENS.format(col='text')}) AS BIGINT) AS w,
+         CAST(COALESCE(len({DOC_TOKENS.format(col='text')}), 0) AS BIGINT) AS w,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
   FROM documents
 ),

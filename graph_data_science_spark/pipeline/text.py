@@ -396,7 +396,10 @@ def pack_sequences(
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # null text -> 0 tokens (a NaN would poison the fill recurrence)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:

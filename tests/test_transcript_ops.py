@@ -138,3 +138,17 @@ def test_pack_sequences_sharding_and_bounds(spark):
         }
         assert deltas <= {0, 1}
         assert seq[0]["bin_idx"] == 0
+
+
+def test_pack_sequences_null_text(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget=4, n_shards=1).collect()
+    }
+    assert out[1]["n_tokens"] == 0
+    # zero-width doc never opens a new bin
+    assert out[0]["bin_idx"] == 0 and out[1]["bin_idx"] == 0
+    assert out[2]["bin_idx"] == 1
