@@ -1102,6 +1102,47 @@ def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.kmeans_lloyd(emb, k=8, iterations=2)
 
 
+def _q_graph_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-table referential-integrity gate
+    (graph_ops.validate_graph) over the RAW (pre-aggregation)
+    user->tool invocation edges: self-loop / parallel-edge /
+    orphan-endpoint counts — what the canonical projection will
+    collapse or silently drop."""
+    from graph_data_science_spark.graph_ops import validate_graph
+
+    events = ev.load_table(spark, sf_dir, "events")
+    tools = ev.tool_vertices(events)
+    raw = events.join(F.broadcast(tools), "event_type").select(
+        F.col("user_id").alias("src"), F.col("tool_vid").alias("dst")
+    )
+    verts = (
+        raw.select(F.col("src").alias("id"))
+        .union(raw.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return validate_graph(raw, verts)
+
+
+def _q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-tail power-law MLE (graph_ops.powerlaw_fit, Clauset et
+    al. 2009 eq. 3.1) over the user->tool out-degrees — the
+    scale-free-ness probe that sizes the engine's skew handling."""
+    from graph_data_science_spark.graph_ops import powerlaw_fit
+
+    g = _user_tool_graph(spark, sf_dir)
+    return powerlaw_fit(g.degrees(), d_min=1)
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise ingest profile (pipeline.profile.profile_table)
+    over the documents table: null/distinct counts, typed min/max —
+    one combining aggregate pass, C trivial one-row selects."""
+    from graph_data_science_spark.pipeline.profile import profile_table
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return profile_table(docs)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.load_table(spark, sf_dir, "documents")
     return text.vocab_coverage(docs, top_n=100)
@@ -2928,6 +2969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "render_chat": _q_render_chat,
         "sft_pipeline": _q_sft_pipeline,
+        "graph_validate": _q_graph_validate,
+        "powerlaw_fit": _q_powerlaw_fit,
+        "table_profile": _q_table_profile,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
@@ -3911,6 +3955,92 @@ SELECT conv_id, n_turns,
        CAST(len({DOC_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens,
        text
 FROM r
+""",
+        "graph_validate": """
+WITH tools AS (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+e AS MATERIALIZED (
+  SELECT user_id AS src, tool_vid AS dst
+  FROM events JOIN tools USING (event_type)
+),
+v AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+  ) u
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) FROM e) AS n_self_loops,
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT (src, dst)) AS BIGINT) FROM e)
+         AS n_parallel_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+        LEFT JOIN v ON e.src = v.id WHERE v.id IS NULL) AS n_orphan_src,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+        LEFT JOIN v ON e.dst = v.id WHERE v.id IS NULL) AS n_orphan_dst
+""",
+        "powerlaw_fit": """
+WITH tools AS (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+e AS (
+  SELECT DISTINCT user_id AS src, tool_vid AS dst
+  FROM events JOIN tools USING (event_type)
+),
+d AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),
+l AS (
+  SELECT CAST(ROUND(ln(CAST(c AS DOUBLE) / 1.0), 9) AS DECIMAL(18,9)) AS lv
+  FROM d WHERE c >= 1
+)
+SELECT CASE WHEN CAST(SUM(lv) AS DOUBLE) > 0
+            THEN ROUND(1.0 + COUNT(*) / CAST(SUM(lv) AS DOUBLE), 6) END
+         AS alpha,
+       CAST(1 AS BIGINT) AS d_min,
+       CAST(COUNT(*) AS BIGINT) AS n_tail
+FROM l
+""",
+        "table_profile": """
+WITH s AS MATERIALIZED (SELECT * FROM documents)
+SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       ROUND(MIN(CAST(doc_id AS DOUBLE)), 6) AS min_num,
+       ROUND(MAX(CAST(doc_id AS DOUBLE)), 6) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM s
+UNION ALL
+SELECT 'text', 'string', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT text) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN(text), MAX(text)
+FROM s
+UNION ALL
+SELECT 'lang', 'string', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN(lang), MAX(lang)
+FROM s
+UNION ALL
+SELECT 'source', 'string', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN(source), MAX(source)
+FROM s
+UNION ALL
+SELECT 'n_chars', 'bigint', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       ROUND(MIN(CAST(n_chars AS DOUBLE)), 6),
+       ROUND(MAX(CAST(n_chars AS DOUBLE)), 6),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM s
 """,
         "sft_pipeline": f"""
 WITH RECURSIVE turns AS (

@@ -39,6 +39,98 @@ def degree_distribution(graph: Graph) -> dict[str, Any]:
     return out
 
 
+def validate_graph(edges, vertices) -> "DataFrame":
+    """Edge-table referential-integrity report -> ONE row
+    (n_vertices, n_edges, n_self_loops, n_parallel_edges,
+    n_orphan_src, n_orphan_dst).
+
+    The ingest gate a link-graph pipeline runs before projection:
+    self-loops and parallel edges quantify how much the canonical
+    projection (orientation + parallel-edge aggregation,
+    catalog.GraphCatalog.create) will collapse; orphan counts are
+    edges whose endpoint is missing from the node table — the
+    referential failure that silently drops mass in every
+    algorithm downstream.
+
+    100-TB shape: one combining aggregate over the edge table
+    (loops + distinct-pair count) and two anti-joins keyed by the
+    endpoint (AQE broadcasts the vertex side when it is small, else
+    a plain shuffle join); the four one-row results cross-join
+    broadcast into the report row. Nothing is collected.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (type only)
+
+    e = edges.select("src", "dst")
+    v = vertices.select("id")
+    base = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.coalesce(
+            F.sum((F.col("src") == F.col("dst")).cast("long")), F.lit(0)
+        ).alias("n_self_loops"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("src"), F.col("dst")))
+        .cast("long")
+        .alias("n_parallel_edges"),
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    o_src = (
+        e.join(v, e["src"] == v["id"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_src"))
+    )
+    o_dst = (
+        e.join(v, e["dst"] == v["id"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_dst"))
+    )
+    return (
+        nv.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(o_src))
+        .crossJoin(F.broadcast(o_dst))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_self_loops",
+            "n_parallel_edges",
+            "n_orphan_src",
+            "n_orphan_dst",
+        )
+    )
+
+
+def powerlaw_fit(degrees, d_min: int = 1) -> "DataFrame":
+    """Continuous power-law MLE over the degree tail -> ONE row
+    (alpha, d_min, n_tail): alpha = 1 + n / sum(ln(d / d_min)) over
+    degrees >= d_min (Clauset, Shalizi & Newman 2009, eq. 3.1 — the
+    Hill estimator). The scale-free-ness check a link-graph pipeline
+    runs to size its skew handling: alpha near 2 means hub mass that
+    demands the salted/split paths, alpha >> 3 means the plain plans
+    win (see catalog.Graph.pregel_layout hub threshold).
+
+    Determinism: each ln term is rounded to 9 dp and summed as
+    DECIMAL (order-independent), alpha rounds to 6 dp — value-exact
+    in ANSI SQL at any parallelism. NULL alpha when every tail degree
+    equals d_min (the MLE diverges).
+
+    100-TB shape: one filter + one combining aggregate over the
+    degree table; nothing collected.
+    """
+    if d_min < 1:
+        raise ValueError("d_min must be >= 1")
+    t = degrees.where(F.col("degree") >= d_min).select(
+        F.round(
+            F.log(F.col("degree").cast("double") / F.lit(float(d_min))), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("_l")
+    )
+    s = F.sum("_l").cast("double")
+    return t.agg(
+        F.round(
+            F.when(s > 0, 1.0 + F.count(F.lit(1)).cast("double") / s), 6
+        ).alias("alpha"),
+        F.lit(d_min).cast("long").alias("d_min"),
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+    )
+
+
 def density(graph: Graph) -> float:
     """relationshipCount / (nodeCount * (nodeCount - 1)) — the
     reference's GraphInfo density formula."""
