@@ -2665,6 +2665,26 @@ def _q_tool_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.tool_sequences(t, top_n=30)
 
 
+def _q_tool_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-tool PMI mining
+    (sources.transcripts.tool_affinity): top-50 over/under-use scores
+    relative to the corpus tool distribution."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return tr.tool_affinity(t, top_n=50)
+
+
+def _q_tool_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Shannon entropy of tool usage
+    (sources.transcripts.tool_entropy) — decimal-summed terms,
+    value-exact."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    return tr.tool_entropy(t)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit document packing into token-budget training
     sequences (pipeline.text.pack_sequences): budget=256, 8 shards —
@@ -2907,6 +2927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_validate": _q_transcript_validate,
         "turn_latency": _q_turn_latency,
         "tool_sequences": _q_tool_sequences,
+        "tool_affinity": _q_tool_affinity,
+        "tool_entropy": _q_tool_entropy,
         "pack_sequences": _q_pack_sequences,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "pagerank": _q_pagerank,
@@ -4987,6 +5009,48 @@ r AS (
 )
 SELECT CAST("rank" AS INTEGER) AS "rank", tool_1, tool_2, n
 FROM r WHERE "rank" <= 30
+""",
+        "tool_affinity": """
+WITH t AS MATERIALIZED (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, event_type AS tool
+  FROM events
+),
+cut AS (SELECT conv_id, tool, CAST(COUNT(*) AS BIGINT) AS n_joint
+        FROM t GROUP BY conv_id, tool),
+cu AS (SELECT conv_id, COUNT(*) AS cu FROM t GROUP BY conv_id),
+ct AS (SELECT tool, COUNT(*) AS ct FROM t GROUP BY tool),
+n AS (SELECT COUNT(*) AS n FROM t),
+s AS (
+  SELECT cut.conv_id, cut.tool, cut.n_joint,
+         ROUND(ln(CAST(cut.n_joint * n.n AS DOUBLE)
+                  / CAST(cu.cu * ct.ct AS DOUBLE)), 6) AS pmi
+  FROM cut JOIN cu USING (conv_id) JOIN ct USING (tool), n
+),
+r AS (
+  SELECT conv_id, tool, n_joint, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, conv_id, tool) AS "rank"
+  FROM s
+)
+SELECT CAST("rank" AS INTEGER) AS "rank", conv_id, tool, n_joint, pmi
+FROM r WHERE "rank" <= 50
+""",
+        "tool_entropy": """
+WITH t AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, event_type AS tool
+  FROM events
+),
+c AS (SELECT conv_id, tool, COUNT(*) AS c FROM t GROUP BY conv_id, tool),
+tot AS (SELECT conv_id, SUM(c) AS n FROM c GROUP BY conv_id),
+term AS (
+  SELECT c.conv_id, tot.n,
+         CAST(ROUND(-(CAST(c.c AS DOUBLE) / n) * ln(CAST(c.c AS DOUBLE) / n),
+                    9) AS DECIMAL(18,9)) AS h
+  FROM c JOIN tot USING (conv_id)
+)
+SELECT conv_id, CAST(MIN(n) AS BIGINT) AS n_turns,
+       CAST(COUNT(*) AS BIGINT) AS n_tools,
+       ROUND(CAST(SUM(h) AS DOUBLE), 6) AS entropy
+FROM term GROUP BY conv_id
 """,
         "pack_sequences": f"""
 WITH RECURSIVE t AS (

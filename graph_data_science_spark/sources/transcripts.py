@@ -284,6 +284,85 @@ def render_chat(df: DataFrame) -> DataFrame:
     )
 
 
+def tool_affinity(df: DataFrame, top_n: int = 50) -> DataFrame:
+    """Pointwise mutual information between conversations' users and
+    tools -> (rank, conv_id, tool, n_joint, pmi): which tools a
+    conversation over/under-uses relative to the corpus —
+    ``pmi = ln(c(conv,tool) * N / (c(conv) * c(tool)))`` over turn
+    counts. The co-occurrence-mining view of agent behavior; positive
+    PMI = affinity, ranks by pmi desc (ties by conv_id, tool).
+
+    100-TB shape: three map-side-combining groupBys (pair, conv,
+    tool — each no wider than its key space), one join keyed by
+    conv_id (AQE-planned) plus a broadcast of the tiny tool counts
+    and the scalar N; top-N is a distributed TakeOrdered.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = df.where(F.col("tool").isNotNull()).select("conv_id", "tool")
+    c_ut = t.groupBy("conv_id", "tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_joint")
+    )
+    c_u = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_cu"))
+    c_t = t.groupBy("tool").agg(F.count(F.lit(1)).alias("_ct"))
+    n = t.agg(F.count(F.lit(1)).alias("_n"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_joint") * F.col("_n")).cast("double")
+            / (F.col("_cu") * F.col("_ct")).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        c_ut.join(c_u, "conv_id")
+        .join(F.broadcast(c_t), "tool")
+        .crossJoin(F.broadcast(n))
+        .select("conv_id", "tool", "n_joint", pmi.alias("pmi"))
+    )
+    top = scored.orderBy(F.desc("pmi"), "conv_id", "tool").limit(top_n)
+    rw = Window.orderBy(F.desc("pmi"), "conv_id", "tool")
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"),
+        "conv_id",
+        "tool",
+        "n_joint",
+        "pmi",
+    )
+
+
+def tool_entropy(df: DataFrame) -> DataFrame:
+    """Per-conversation Shannon entropy of the tool distribution ->
+    (conv_id, n_turns, n_tools, entropy): how diverse a
+    conversation's tool usage is (0 = one tool; ln(k) = uniform over
+    k). Null-tool turns are excluded from the distribution.
+
+    Determinism: each -p*ln(p) term rounds to 9 dp and sums as
+    DECIMAL (order-independent), entropy rounds to 6 dp — value-exact
+    in ANSI SQL at any parallelism.
+
+    100-TB shape: two map-side-combining groupBys ((conv, tool) then
+    conv); the shuffle carries only partial counts.
+    """
+    from pyspark.sql import functions as F
+
+    t = df.where(F.col("tool").isNotNull()).select("conv_id", "tool")
+    c = t.groupBy("conv_id", "tool").agg(F.count(F.lit(1)).alias("_c"))
+    tot = c.groupBy("conv_id").agg(F.sum("_c").alias("_n"))
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        c.join(tot, "conv_id")
+        .select("conv_id", F.col("_n"), term.alias("_h"))
+        .groupBy("conv_id")
+        .agg(
+            F.first("_n").cast("long").alias("n_turns"),
+            F.count(F.lit(1)).cast("long").alias("n_tools"),
+            F.round(F.sum("_h").cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
 def conversation_stats(df: DataFrame) -> DataFrame:
     """Per-conversation rollup over the canonical transcript table ->
     (conv_id, n_turns, n_user_turns, n_assistant_turns, n_tools,

@@ -152,3 +152,36 @@ def test_pack_sequences_null_text(spark):
     # zero-width doc never opens a new bin
     assert out[0]["bin_idx"] == 0 and out[1]["bin_idx"] == 0
     assert out[2]["bin_idx"] == 1
+
+
+def test_tool_entropy(tiny):
+    from graph_data_science_spark.sources.transcripts import tool_entropy
+
+    out = {r["conv_id"]: r for r in tool_entropy(tiny).collect()}
+    # conv b: both turns use t9 -> one tool, entropy 0
+    assert out["b"]["n_tools"] == 1 and out["b"]["entropy"] == 0.0
+    # conv a: t1,t2 uniform over 2 -> ln 2
+    import math
+
+    assert out["a"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["a"]["n_turns"] == 2
+    # conv d: null tool only -> excluded entirely
+    assert "d" not in out
+
+
+def test_tool_affinity(tiny):
+    from graph_data_science_spark.sources.transcripts import tool_affinity
+
+    rows = tool_affinity(tiny, top_n=100).collect()
+    # N=7 non-null tool turns; t9 only in conv b: pmi = ln(2*7/(2*2))
+    import math
+
+    by = {(r["conv_id"], r["tool"]): r for r in rows}
+    assert by[("b", "t9")]["pmi"] == pytest.approx(
+        round(math.log(14 / 4), 6), abs=1e-9
+    )
+    assert by[("b", "t9")]["n_joint"] == 2
+    # ranks dense from 1, pmi non-increasing
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == list(range(1, len(rows) + 1))
+    assert all(a["pmi"] >= b["pmi"] for a, b in zip(ranked, ranked[1:]))
