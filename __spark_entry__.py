@@ -1041,6 +1041,18 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time batch-vs-index dedup
+    (pipeline.dedup.incremental_dedup): odd doc_ids arrive as the new
+    batch, even doc_ids' md5 hashes are the existing corpus index."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    new = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    seen = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        F.md5("text").alias("h")
+    )
+    return dedup.incremental_dedup(new, seen)
+
+
 def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic keep/drop filter
     (pipeline.text.corpus_filter): token band, alpha ratio, distinct
@@ -2960,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "exact_duplicates": _q_exact_dups,
+        "incremental_dedup": _q_incremental_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
@@ -3408,6 +3421,19 @@ WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
 g AS (SELECT hh, MIN(doc_id) AS group_id FROM h GROUP BY hh)
 SELECT h.doc_id, g.group_id, h.doc_id <> g.group_id AS is_duplicate
 FROM h JOIN g USING (hh)
+""",
+        "incremental_dedup": """
+WITH nh AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+),
+seen AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+first AS (SELECT h, MIN(doc_id) AS f FROM nh GROUP BY h)
+SELECT nh.doc_id,
+       seen.h IS NULL AS is_new,
+       nh.doc_id <> first.f AS is_batch_duplicate
+FROM nh JOIN first USING (h) LEFT JOIN seen USING (h)
 """,
         "ngram_jaccard_pairs": f"""
 WITH {SHINGLES_SQL.strip()},

@@ -48,6 +48,45 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against an existing corpus
+    index -> (doc_id, is_new, is_batch_duplicate): the incremental
+    form of exact_duplicates for a pipeline that ingests continuously
+    and keeps a hash index (a table of md5 `h` values) of everything
+    already accepted.
+
+    is_new = the text's hash is absent from ``seen_hashes``;
+    is_batch_duplicate = another doc with a smaller id in THIS batch
+    has the same text (so exactly one row per novel text has
+    is_new AND NOT is_batch_duplicate — the set to accept and append
+    to the index).
+
+    100-TB shape: one combining groupBy on the batch's hashes plus
+    one left-semi-shaped join against the index keyed by the 16-byte
+    hash (AQE broadcasts a small batch against a bucketed index, or
+    shuffles both at comparable size — either way no row wider than
+    (id, hash) moves). The index table can be bucketed by `h` so
+    repeated ingests co-locate without reshuffling the index.
+    """
+    h = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    first = h.groupBy("h").agg(F.min(id_col).alias("_first"))
+    seen = seen_hashes.select("h").distinct().withColumn("_seen", F.lit(True))
+    return (
+        h.join(first, "h")
+        .join(seen, "h", "left")
+        .select(
+            F.col(id_col),
+            F.col("_seen").isNull().alias("is_new"),
+            (F.col(id_col) != F.col("_first")).alias("is_batch_duplicate"),
+        )
+    )
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -61,3 +61,21 @@ def test_render_chat(spark):
     assert out["c1"]["n_tokens"] == 4
     assert out["c2"]["text"] == "<|user|> solo"
     assert out["c2"]["n_tokens"] == 2
+
+
+def test_incremental_dedup(spark):
+    from graph_data_science_spark.pipeline.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [(10, "aaa"), (11, "bbb"), (12, "aaa"), (13, "ccc")],
+        "doc_id long, text string",
+    )
+    # index already contains the hash of "bbb"
+    seen = new.where("doc_id = 11").selectExpr("md5(text) AS h")
+    out = {r["doc_id"]: r for r in incremental_dedup(new, seen).collect()}
+    assert out[10]["is_new"] and not out[10]["is_batch_duplicate"]
+    assert not out[11]["is_new"]  # already in the index
+    assert out[12]["is_new"] and out[12]["is_batch_duplicate"]  # dup of 10
+    assert out[13]["is_new"] and not out[13]["is_batch_duplicate"]
+    accept = [d for d, r in out.items() if r["is_new"] and not r["is_batch_duplicate"]]
+    assert sorted(accept) == [10, 13]
