@@ -117,3 +117,42 @@ def test_streaming_exact_dedup(spark, tmp_path):
     b = streaming_exact_dedup(batch).collect()
     assert sorted(r["text"] for r in b) == ["alpha text", "beta text", "gamma text"]
     assert "_h" not in spark.table("dedup_stream").columns
+
+
+def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
+    """corpus_filter is pure column expressions, so the SAME operator
+    runs unchanged on a stream — the batch/streaming-unified claim for
+    the stateless pipeline ops (filter runs per micro-batch with no
+    state)."""
+    import shutil
+    import tempfile
+
+    from graph_data_science_spark.pipeline.text import corpus_filter
+
+    batch = ev.load_table(spark, SF_DIR, "documents")
+    d = tmp_path / "docs_stream_src"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+
+    out = corpus_filter(stream)
+    assert out.isStreaming
+    with tempfile.TemporaryDirectory(prefix="gds_stream_ckpt_") as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("docs_filtered")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["keep"], r["reasons"])
+        for r in spark.sql("SELECT * FROM docs_filtered").collect()
+    }
+    want = {
+        r["doc_id"]: (r["keep"], r["reasons"])
+        for r in corpus_filter(batch).collect()
+    }
+    assert got == want and len(got) > 0
