@@ -4023,12 +4023,19 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_vertices,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
        (SELECT CAST(COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0)
                     AS BIGINT) FROM e) AS n_self_loops,
-       (SELECT CAST(COUNT(*) - COUNT(DISTINCT (src, dst)) AS BIGINT) FROM e)
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT (src, dst)) AS BIGINT)
+        FROM e WHERE src IS NOT NULL AND dst IS NOT NULL)
          AS n_parallel_edges,
+       (SELECT CAST(COUNT(CASE WHEN src IS NULL THEN 1 END) AS BIGINT) FROM e)
+         AS n_null_src,
+       (SELECT CAST(COUNT(CASE WHEN dst IS NULL THEN 1 END) AS BIGINT) FROM e)
+         AS n_null_dst,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM e
-        LEFT JOIN v ON e.src = v.id WHERE v.id IS NULL) AS n_orphan_src,
+        LEFT JOIN v ON e.src = v.id
+        WHERE e.src IS NOT NULL AND v.id IS NULL) AS n_orphan_src,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM e
-        LEFT JOIN v ON e.dst = v.id WHERE v.id IS NULL) AS n_orphan_dst
+        LEFT JOIN v ON e.dst = v.id
+        WHERE e.dst IS NOT NULL AND v.id IS NULL) AS n_orphan_dst
 """,
         "powerlaw_fit": """
 WITH tools AS (

@@ -42,7 +42,11 @@ def degree_distribution(graph: Graph) -> dict[str, Any]:
 def validate_graph(edges, vertices) -> "DataFrame":
     """Edge-table referential-integrity report -> ONE row
     (n_vertices, n_edges, n_self_loops, n_parallel_edges,
-    n_orphan_src, n_orphan_dst).
+    n_null_src, n_null_dst, n_orphan_src, n_orphan_dst).
+
+    NULL endpoints are counted separately (n_null_*) AND excluded
+    from the orphan counts — a null key and a dangling key are
+    different ingest defects with different fixes.
 
     The ingest gate a link-graph pipeline runs before projection:
     self-loops and parallel edges quantify how much the canonical
@@ -67,17 +71,37 @@ def validate_graph(edges, vertices) -> "DataFrame":
         F.coalesce(
             F.sum((F.col("src") == F.col("dst")).cast("long")), F.lit(0)
         ).alias("n_self_loops"),
-        (F.count(F.lit(1)) - F.count_distinct(F.col("src"), F.col("dst")))
+        # count_distinct skips rows with a NULL endpoint, so restrict
+        # the parallel-edge definition to fully-keyed edges
+        (
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("src").isNotNull() & F.col("dst").isNotNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
+            )
+            - F.count_distinct(F.col("src"), F.col("dst"))
+        )
         .cast("long")
         .alias("n_parallel_edges"),
+        F.coalesce(F.sum(F.col("src").isNull().cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_null_src"),
+        F.coalesce(F.sum(F.col("dst").isNull().cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_null_dst"),
     )
     nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
     o_src = (
-        e.join(v, e["src"] == v["id"], "left_anti")
+        e.where(F.col("src").isNotNull())
+        .join(v, F.col("src") == v["id"], "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_src"))
     )
     o_dst = (
-        e.join(v, e["dst"] == v["id"], "left_anti")
+        e.where(F.col("dst").isNotNull())
+        .join(v, F.col("dst") == v["id"], "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_dst"))
     )
     return (
@@ -89,6 +113,8 @@ def validate_graph(edges, vertices) -> "DataFrame":
             "n_edges",
             "n_self_loops",
             "n_parallel_edges",
+            "n_null_src",
+            "n_null_dst",
             "n_orphan_src",
             "n_orphan_dst",
         )

@@ -69,7 +69,9 @@ def conversation_dedup(df: DataFrame) -> DataFrame:
     Fingerprint = md5 of the turn texts joined by the US separator
     (0x1f) in turn_idx order, nulls normalized to ''. group_id is the
     minimum conv_id sharing a fingerprint (same representative rule as
-    pipeline.dedup.exact_duplicates).
+    pipeline.dedup.exact_duplicates). A turn text CONTAINING 0x1f
+    could alias a different turn split to the same fingerprint —
+    length-prefix the parts if the corpus can carry control bytes.
 
     100-TB shape: one map-side-combining groupBy keyed by conv_id
     (collect_list partials merge per partition; conversations are

@@ -26,6 +26,7 @@ def test_validate_graph_counts(spark):
     assert r["n_vertices"] == 3 and r["n_edges"] == 5
     assert r["n_self_loops"] == 1
     assert r["n_parallel_edges"] == 1  # 5 edges, 4 distinct pairs
+    assert r["n_null_src"] == 0 and r["n_null_dst"] == 0
     assert r["n_orphan_src"] == 1 and r["n_orphan_dst"] == 1
 
 
@@ -36,6 +37,19 @@ def test_validate_graph_empty_edges(spark):
     assert r["n_edges"] == 0 and r["n_self_loops"] == 0
     assert r["n_parallel_edges"] == 0
     assert r["n_orphan_src"] == 0 and r["n_orphan_dst"] == 0
+
+
+def test_validate_graph_null_endpoints(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 2), (1, None), (1, 9)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    r = validate_graph(edges, verts).collect()[0]
+    assert r["n_null_src"] == 1 and r["n_null_dst"] == 1
+    # null endpoints are NOT orphans (different defect, different fix)
+    assert r["n_orphan_src"] == 0 and r["n_orphan_dst"] == 1
+    # parallel count only over fully-keyed edges: (1,2),(1,9) distinct
+    assert r["n_parallel_edges"] == 0
 
 
 def test_powerlaw_fit_known_alpha(spark):
