@@ -2697,6 +2697,20 @@ def _q_tool_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.tool_entropy(t)
 
 
+def _q_conversation_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy conversation-level near-dup candidates: render_chat ->
+    minhash_lsh_candidates over the rendered conversation text — the
+    MinHash analog of the exact conversation_dedup fingerprint
+    (catches conversations that differ in a few turns)."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    rendered = tr.render_chat(t).select(
+        F.substring("conv_id", 2, 18).cast("long").alias("doc_id"), "text"
+    )
+    return dedup.minhash_lsh_candidates(rendered)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit document packing into token-budget training
     sequences (pipeline.text.pack_sequences): budget=256, 8 shards —
@@ -2940,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": _q_turn_latency,
         "tool_sequences": _q_tool_sequences,
         "tool_affinity": _q_tool_affinity,
+        "conversation_near_dups": _q_conversation_near_dups,
         "tool_entropy": _q_tool_entropy,
         "pack_sequences": _q_pack_sequences,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -5084,6 +5099,39 @@ SELECT conv_id, CAST(MIN(n) AS BIGINT) AS n_turns,
        CAST(COUNT(*) AS BIGINT) AS n_tools,
        ROUND(CAST(SUM(h) AS DOUBLE), 6) AS entropy
 FROM term GROUP BY conv_id
+""",
+        "conversation_near_dups": f"""
+WITH turns AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, props AS text,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+documents AS (
+  SELECT CAST(substring(conv_id, 2) AS BIGINT) AS doc_id,
+         string_agg(
+           '<|' || CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                        ELSE 'assistant' END || '|> ' || coalesce(text, ''),
+           chr(10) ORDER BY turn_idx) AS text
+  FROM turns GROUP BY conv_id
+),
+{SHINGLES_SQL.strip()},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{h}|' || shingle)) AS h{h}" for h in range(16))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, %d AS band, md5(h%d || '|' || h%d || '|' || h%d || '|' || h%d)"
+      " AS bucket FROM sig" % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+      for b in range(4)
+  )}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
 """,
         "pack_sequences": f"""
 WITH RECURSIVE t AS (
