@@ -1135,6 +1135,16 @@ def _q_graph_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_graph(raw, verts)
 
 
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (graph_ops.k_core, k=3, 4 fixed rounds) over
+    the undirected user->tool invocation graph — the density cut of
+    the curation toolkit; the oracle unrolls the same 4 rounds."""
+    from graph_data_science_spark.graph_ops import k_core
+
+    g = _user_tool_graph(spark, sf_dir)
+    return k_core(g.edges, k=3, rounds=4)
+
+
 def _q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-tail power-law MLE (graph_ops.powerlaw_fit, Clauset et
     al. 2009 eq. 3.1) over the user->tool out-degrees — the
@@ -3021,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pipeline": _q_sft_pipeline,
         "graph_validate": _q_graph_validate,
         "powerlaw_fit": _q_powerlaw_fit,
+        "k_core": _q_k_core,
         "table_profile": _q_table_profile,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -4052,6 +4063,34 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_vertices,
         LEFT JOIN v ON e.dst = v.id
         WHERE e.dst IS NOT NULL AND v.id IS NULL) AS n_orphan_dst
 """,
+        "k_core": (
+            """
+WITH tools AS (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+ut AS (
+  SELECT DISTINCT user_id AS src, tool_vid AS dst
+  FROM events JOIN tools USING (event_type)
+),
+e0 AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM ut UNION SELECT dst, src FROM ut
+),
+"""
+            + ",\n".join(
+                f"""d{r} AS (SELECT a, COUNT(*) AS c FROM e{r - 1} GROUP BY a),
+a{r} AS MATERIALIZED (SELECT a AS id FROM d{r} WHERE c >= 3),
+e{r} AS MATERIALIZED (
+  SELECT e{r - 1}.a, e{r - 1}.b FROM e{r - 1}
+  JOIN a{r} x ON e{r - 1}.a = x.id JOIN a{r} y ON e{r - 1}.b = y.id
+)"""
+                for r in range(1, 5)
+            )
+            + """
+SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e4 GROUP BY a
+"""
+        ),
         "powerlaw_fit": """
 WITH tools AS (
   SELECT event_type,

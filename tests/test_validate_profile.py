@@ -103,3 +103,33 @@ def test_profile_table_column_subset_and_validation(spark):
     assert profile_table(df, ["s"]).collect()[0]["column"] == "s"
     with pytest.raises(ValueError, match="unknown columns"):
         profile_table(df, ["nope"])
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    from graph_data_science_spark.graph_ops import k_core
+
+    # triangle 1-2-3 plus a pendant chain 3-4-5: the 2-core is the
+    # triangle (chain peels end-in over two rounds)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["id"]: r["degree"] for r in k_core(edges, k=2, rounds=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3 empties it
+    assert k_core(edges, k=3, rounds=4).count() == 0
+
+
+def test_k_core_fixed_rounds_are_idempotent_at_fixpoint(spark):
+    from graph_data_science_spark.graph_ops import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    a = sorted(map(tuple, k_core(edges, k=2, rounds=3).collect()))
+    b = sorted(map(tuple, k_core(edges, k=2, rounds=6).collect()))
+    assert a == b  # converged: extra rounds are no-ops
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_core(edges, k=0)
