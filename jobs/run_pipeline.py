@@ -221,6 +221,19 @@ def _op_conversation_dedup(spark, df, cfg):
     return transcripts.conversation_dedup(df)
 
 
+def _op_incremental_dedup(spark, df, cfg):
+    from graph_data_science_spark.pipeline import dedup
+
+    seen_path = cfg.pop("seen_input")
+    return dedup.incremental_dedup(df, _read(spark, seen_path), **cfg)
+
+
+def _op_table_profile(spark, df, cfg):
+    from graph_data_science_spark.pipeline import profile
+
+    return profile.profile_table(df, **cfg)
+
+
 OPERATORS = {
     "exact_dedup": _op_exact_dedup,
     "minhash_lsh": _op_minhash_lsh,
@@ -250,6 +263,8 @@ OPERATORS = {
     "kmeans": _op_kmeans,
     "render_chat": _op_render_chat,
     "conversation_dedup": _op_conversation_dedup,
+    "incremental_dedup": _op_incremental_dedup,
+    "table_profile": _op_table_profile,
 }
 
 
