@@ -55,6 +55,7 @@ from graph_data_science_spark.functions.scalers import scale_property
 from graph_data_science_spark.pipeline import (
     ann,
     dedup,
+    linalg,
     sampling,
     sessions,
     temporal,
@@ -2936,6 +2937,99 @@ def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JL_OUT_DIM = 8
+JL_SEED = 42
+PCA_K = 8
+GROUP_SPLIT_SEED = 17
+NF_MAX_ITER = 16
+
+
+def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection
+    (pipeline.ann.jl_project): 64-dim float32 embeddings down to 8
+    dims via plan-literal LCG sign rows — every output a left-to-right
+    float64 fold, value-exact in SQL."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.jl_project(
+        emb, in_dim=ANN_DIM, out_dim=JL_OUT_DIM, seed=JL_SEED
+    )
+
+
+def _q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe conversation-level train/val/test assignment
+    (pipeline.sampling.group_split): md5-hash draw on conv_id, so
+    every turn of a conversation lands in one split — value-exact in
+    SQL (md5 + hex-parse are engine-portable)."""
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    out = sampling.group_split(t, "conv_id", seed=GROUP_SPLIT_SEED)
+    return out.select("conv_id", "split").distinct()
+
+
+def _q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening (pipeline.linalg): invariant oracle — component
+    orthonormality and eigenvalue ordering checked driver-side from
+    the d x d model (numpy on O(parallelism) moment partials), unit
+    output variance checked distributed over the projection."""
+    import numpy as np
+
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    proj, model = linalg.pca_embeddings(
+        emb, in_dim=ANN_DIM, k=PCA_K, whiten=True
+    )
+    C, e = model["components"], model["eigvals"]
+    ortho = bool(np.max(np.abs(C @ C.T - np.eye(PCA_K))) < 1e-8)
+    desc = bool(all(e[i] >= e[i + 1] - 1e-12 for i in range(PCA_K - 1)))
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.var_pop(f"proj_{j}").alias(f"v{j}") for j in range(PCA_K)],
+    ).first()
+    var_ok = bool(
+        all(abs(stats[f"v{j}"] - 1.0) < 5e-2 for j in range(PCA_K))
+    )
+    return spark.createDataFrame(
+        [(int(stats["n_rows"]), ortho, desc, var_ok)],
+        "n_rows long, ortho_ok boolean, eig_desc boolean, whiten_unit_var boolean",
+    )
+
+
+def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF (algorithms.hyperanf): approximate neighborhood
+    function over the undirected user-tool graph. Invariant oracle:
+    N(0) equals the SQL-derivable vertex count exactly (singleton HLL
+    estimates are exact), the sequence is monotone within estimator
+    jitter, converges within the iteration cap, and the converged
+    pair count is sane (>= n, <= 1.05 * n^2); the interpolated
+    0.9-effective-diameter lies inside the iteration range. Exact
+    accuracy vs BFS is pinned by tests/test_linalg_hyperanf.py."""
+    from graph_data_science_spark.algorithms.hyperanf import (
+        neighborhood_function,
+    )
+
+    g = _user_tool_graph(spark, sf_dir)
+    nf = neighborhood_function(spark, g, max_iter=NF_MAX_ITER, lg_k=12)
+    pts = sorted((r["t"], r["n_pairs"]) for r in nf.collect())
+    n = g.node_count()
+    n0_exact = pts[0][1] == float(n)
+    mono = all(b >= a * 0.999 for (_, a), (_, b) in zip(pts, pts[1:]))
+    last = pts[-1][1]
+    bounded = float(n) <= last <= 1.05 * float(n) * float(n)
+    converged = len(pts) - 1 < NF_MAX_ITER
+    target = 0.9 * last
+    d_eff = float(pts[-1][0])
+    for (t0, a), (t1, b) in zip(pts, pts[1:]):
+        if b >= target:
+            d_eff = t0 + (target - a) / (b - a) if b > a else float(t0)
+            break
+    if pts[0][1] >= target:
+        d_eff = 0.0
+    diam_ok = 0.0 <= d_eff <= float(pts[-1][0])
+    return spark.createDataFrame(
+        [(int(n), n0_exact, mono, bounded, converged, diam_ok)],
+        "n_vertices long, n0_exact boolean, monotone boolean, "
+        "bounded boolean, converged boolean, diam_ok boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -3033,6 +3127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_fit": _q_powerlaw_fit,
         "k_core": _q_k_core,
         "table_profile": _q_table_profile,
+        "jl_project": _q_jl_project,
+        "group_split": _q_group_split,
+        "pca_embeddings": _q_pca_embeddings,
+        "neighborhood_function": _q_neighborhood_function,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "time_rollup": _q_time_rollup,
@@ -3093,6 +3191,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_stats": _q_engine_stats,
         "split_relationships": _q_split_relationships,
     }
+
+
+def _jl_project_sql() -> str:
+    """Mirror of pipeline.ann.jl_project: identical sign literals
+    (ann.jl_signs), identical left-to-right float64 fold."""
+    from graph_data_science_spark.pipeline.ann import jl_signs
+
+    inv = 1.0 / float(JL_OUT_DIM) ** 0.5
+    cols = []
+    for j in range(JL_OUT_DIM):
+        lits = ", ".join(repr(s) for s in jl_signs(j, ANN_DIM, JL_SEED))
+        cols.append(
+            f"round(list_sum(list_transform(range(1, {ANN_DIM} + 1), "
+            f"i -> embedding[i] * ([{lits}])[i])) * {inv!r}, 6) AS proj_{j}"
+        )
+    return "SELECT vec_id,\n  " + ",\n  ".join(cols) + "\nFROM embeddings"
+
+
+def _group_split_sql() -> str:
+    """Mirror of pipeline.sampling.group_split at shares
+    (0.9, 0.05, 0.05): same md5 draw, same Python-float cumulative
+    thresholds (0.9 + 0.05 != 0.95 exactly — the literal must match
+    the plan's double bit-for-bit)."""
+    c1, c2 = repr(0.9), repr(0.9 + 0.05)
+    return f"""
+WITH convs AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS conv_id FROM events
+),
+draw AS (
+  SELECT conv_id,
+         CAST(('0x' || substr(md5(conv_id || '|{GROUP_SPLIT_SEED}'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM convs
+)
+SELECT conv_id,
+       CASE WHEN u < {c1} THEN 'train'
+            WHEN u < {c2} THEN 'val'
+            ELSE 'test' END AS split
+FROM draw
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5226,5 +5364,23 @@ SELECT doc_id,
                                 ELSE (CAST(1 AS BIGINT) << b) END)
                      ELSE 0 END) AS BIGINT) AS simhash
 FROM contrib GROUP BY doc_id
+""",
+        "jl_project": _jl_project_sql(),
+        "group_split": _group_split_sql(),
+        "pca_embeddings": """
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_rows,
+       TRUE AS ortho_ok,
+       TRUE AS eig_desc,
+       TRUE AS whiten_unit_var
+""",
+        "neighborhood_function": """
+SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events)
+          + (SELECT COUNT(DISTINCT event_type) FROM events) AS BIGINT)
+         AS n_vertices,
+       TRUE AS n0_exact,
+       TRUE AS monotone,
+       TRUE AS bounded,
+       TRUE AS converged,
+       TRUE AS diam_ok
 """,
     }

@@ -237,6 +237,28 @@ class GdsEngine:
 
         return self._proc(graph, lambda: (hits(self.spark, graph, **cfg), {}), "auth")
 
+    def neighborhood_function(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.hyperanf import (
+            neighborhood_function,
+        )
+
+        return self._proc(
+            graph,
+            lambda: (neighborhood_function(self.spark, graph, **cfg), {}),
+            "n_pairs",
+        )
+
+    def effective_diameter(self, graph: Graph, **cfg) -> ProcResult:
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.hyperanf import effective_diameter
+
+        return self._proc(
+            graph,
+            lambda: (effective_diameter(self.spark, graph, **cfg), {}),
+            "effective_diameter",
+        )
+
     # -- community --------------------------------------------------------
     def wcc(self, graph: Graph, **cfg) -> ProcResult:
         graph = self._filtered(graph, cfg)

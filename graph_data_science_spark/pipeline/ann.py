@@ -631,6 +631,54 @@ def semantic_dedup(
     )
 
 
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection -> (vec_id,
+    proj_0..proj_{out_dim-1}): y_j = (1/sqrt(out_dim)) * sum_i x_i *
+    s_ij with s_ij in {-1, +1} (Achlioptas 2003 — the database-
+    friendly JL transform: sign matrices preserve pairwise distances
+    within (1 +- eps) at out_dim = O(ln n / eps^2), no Gaussians
+    needed).
+
+    The embedding-compression step of a 100-TB pipeline: 64-dim
+    float32 -> out_dim doubles before an ANN index halves index build
+    cost with bounded recall loss.
+
+    Determinism/portability: signs come from the same closed-form
+    2^31 LCG as the LSH hyperplanes (``lcg_plane`` sign bit), embedded
+    as plan literals; each output is a left-to-right float64 fold, so
+    an ANSI-SQL oracle with the same literal sign lists reproduces
+    every value bit-for-bit. Pure JVM column exprs — codegen'd, no
+    shuffle: the projection runs at scan speed.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    from graph_data_science_spark.util import widen_scan
+
+    df = widen_scan(df)  # out_dim x in_dim fused multiply-adds per row
+    inv = 1.0 / float(out_dim) ** 0.5
+    cols = [F.col(id_col).alias("vec_id")]
+    for j in range(out_dim):
+        signs = jl_signs(j, in_dim, seed)
+        w = F.array(*[F.lit(s) for s in signs])
+        cols.append(
+            F.round(_dot(F.col(vec_col), w) * F.lit(inv), 6).alias(f"proj_{j}")
+        )
+    return df.select(*cols)
+
+
+def jl_signs(row: int, dim: int, seed: int = 42) -> list[float]:
+    """The +-1.0 sign row for jl_project — sign bit of the lcg_plane
+    weight, exposed so oracles/tests embed the identical literals."""
+    return [1.0 if x > 0 else -1.0 for x in lcg_plane(row, dim, seed)]
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -253,3 +253,59 @@ def mix_corpus(
             F.round("accept_rate", 6).alias("accept_rate"),
         )
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    shares: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 17,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment -> the input plus a
+    `split` column, constant within each ``group_col`` value.
+
+    Splitting documents i.i.d. leaks near-duplicate rows of the same
+    conversation across the train/eval boundary; the standard fix is
+    to hash the GROUP key so every row of a conversation lands in the
+    same split (the group-wise analog of the reference's
+    splitRelationships holdout, algo/.../SplitRelationships — see
+    algorithms/walking.py for the edge-level version).
+
+    The draw is u = int(first 8 hex chars of md5(group || '|' ||
+    seed)) / 2^32 — engine-portable (md5 and hex parse identically in
+    Spark and ANSI SQL), uniform on [0,1), and independent of row
+    order/partitioning. Split k is chosen when u falls in k's
+    cumulative-share interval; shares must sum to 1 (+-1e-9).
+
+    100-TB shape: a pure column expression — no shuffle, no join, no
+    state; the split column costs one md5 per row inside the scan.
+    """
+    if len(shares) != len(names) or not names:
+        raise ValueError("shares and names must be same nonzero length")
+    if any(s < 0 for s in shares):
+        raise ValueError("shares must be >= 0")
+    if abs(sum(shares) - 1.0) > 1e-9:
+        raise ValueError("shares must sum to 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(group_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    cum = 0.0
+    branches = []
+    for name, s in zip(names[:-1], shares[:-1]):
+        cum += s
+        branches.append((cum, name))
+    expr = F.lit(names[-1])
+    for cum, name in reversed(branches):
+        expr = F.when(u < F.lit(cum), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

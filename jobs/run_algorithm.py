@@ -42,6 +42,7 @@ ALGORITHMS = (
     "closeness_centrality",
     "harmonic_centrality", "node_similarity", "fastrp", "graphsage",
     "betweenness", "sllpa", "all_shortest_paths",
+    "neighborhood_function", "effective_diameter",
 )
 
 

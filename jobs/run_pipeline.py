@@ -158,6 +158,27 @@ def _op_quantize(spark, df, cfg):
     return ann.quantize_embeddings(df, **cfg)
 
 
+def _op_jl_project(spark, df, cfg):
+    from graph_data_science_spark.pipeline import ann
+
+    cfg.setdefault("in_dim", len(df.select("embedding").first()[0]))
+    return ann.jl_project(df, **cfg)
+
+
+def _op_pca_project(spark, df, cfg):
+    from graph_data_science_spark.pipeline import linalg
+
+    cfg.setdefault("in_dim", len(df.select("embedding").first()[0]))
+    out, _model = linalg.pca_embeddings(df, **cfg)
+    return out
+
+
+def _op_group_split(spark, df, cfg):
+    from graph_data_science_spark.pipeline import sampling
+
+    return sampling.group_split(df, **cfg)
+
+
 def _op_ann_topk(spark, df, cfg):
     from graph_data_science_spark.pipeline import ann
 
@@ -265,6 +286,9 @@ OPERATORS = {
     "conversation_dedup": _op_conversation_dedup,
     "incremental_dedup": _op_incremental_dedup,
     "table_profile": _op_table_profile,
+    "jl_project": _op_jl_project,
+    "pca_project": _op_pca_project,
+    "group_split": _op_group_split,
 }
 
 
