@@ -42,7 +42,9 @@ from graph_data_science_spark.algorithms.pagerank import (
     pagerank,
 )
 from graph_data_science_spark.algorithms.similarity import (
+    CategoricalSimilarityConfig,
     NodeSimilarityConfig,
+    categorical_similarity,
     node_similarity,
 )
 from graph_data_science_spark.algorithms.triangle import (
@@ -647,6 +649,38 @@ def _q_node_similarity_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-weighted user->tool graph — value-exact."""
     g = _user_tool_weighted_graph(spark, sf_dir)
     return node_similarity(spark, g, NodeSimilarityConfig(weighted=True))
+
+
+def _user_active_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item='u<user_id>', category=calendar date of activity) — the
+    categorical-set input for the alpha similarity procs: each
+    conversation's set of active days."""
+    e = ev.load_table(spark, sf_dir, "events")
+    return e.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("item"),
+        F.to_date("ts").alias("category"),
+    )
+
+
+def _q_categorical_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.similarity.jaccard analog over categorical sets
+    (CategoricalInput.java:45-54): per-conversation active-date sets,
+    top-5 Jaccard-similar conversations each — value-exact."""
+    return categorical_similarity(
+        _user_active_dates(spark, sf_dir),
+        CategoricalSimilarityConfig(metric="JACCARD", top_k=5),
+    )
+
+
+def _q_categorical_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.similarity.overlap analog
+    (CategoricalInput.java:56-72: |∩|/min(|a|,|b|), pair oriented so
+    the smaller set is the source via inferReverse) — value-exact,
+    similarity_cutoff 0.9 (the subset-detection use)."""
+    return categorical_similarity(
+        _user_active_dates(spark, sf_dir),
+        CategoricalSimilarityConfig(metric="OVERLAP", similarity_cutoff=0.9),
+    )
 
 
 def _q_projected_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3082,6 +3116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_weighted": _q_degree_weighted,
         "local_clustering_coefficient": _q_lcc,
         "node_similarity": _q_node_similarity,
+        "categorical_jaccard": _q_categorical_jaccard,
+        "categorical_overlap": _q_categorical_overlap,
         "node_similarity_weighted": _q_node_similarity_weighted,
         "projected_degree": _q_projected_degree,
         "session_stats": _q_session_stats,
@@ -3406,6 +3442,60 @@ SELECT v.id,
 FROM verts v
 LEFT JOIN tcount t ON t.id = v.id
 LEFT JOIN degc d ON d.id = v.id
+""",
+        "categorical_jaccard": """
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS item,
+         CAST(ts AS DATE) AS category
+  FROM events
+),
+c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY item),
+p AS (
+  SELECT a.item AS item1, b.item AS item2,
+         CAST(COUNT(*) AS BIGINT) AS intersection
+  FROM t a JOIN t b USING (category)
+  WHERE a.item < b.item GROUP BY 1, 2
+),
+s AS (
+  SELECT item1, item2, c1.cnt AS count1, c2.cnt AS count2, intersection,
+         ROUND(CAST(intersection AS DOUBLE)
+               / (c1.cnt + c2.cnt - intersection), 6) AS similarity
+  FROM p JOIN c c1 ON p.item1 = c1.item JOIN c c2 ON p.item2 = c2.item
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY item1 ORDER BY similarity DESC, item2
+  ) AS "rank" FROM s WHERE similarity >= 0.0
+)
+SELECT item1, item2, count1, count2, intersection, similarity,
+       CAST("rank" AS INTEGER) AS "rank"
+FROM r WHERE "rank" <= 5
+""",
+        "categorical_overlap": """
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS item,
+         CAST(ts AS DATE) AS category
+  FROM events
+),
+c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY item),
+p AS (
+  SELECT a.item AS item1, b.item AS item2,
+         CAST(COUNT(*) AS BIGINT) AS intersection
+  FROM t a JOIN t b USING (category)
+  WHERE a.item < b.item GROUP BY 1, 2
+),
+o AS (
+  SELECT CASE WHEN c1.cnt > c2.cnt THEN item2 ELSE item1 END AS item1,
+         CASE WHEN c1.cnt > c2.cnt THEN item1 ELSE item2 END AS item2,
+         CASE WHEN c1.cnt > c2.cnt THEN c2.cnt ELSE c1.cnt END AS count1,
+         CASE WHEN c1.cnt > c2.cnt THEN c1.cnt ELSE c2.cnt END AS count2,
+         intersection
+  FROM p JOIN c c1 ON p.item1 = c1.item JOIN c c2 ON p.item2 = c2.item
+)
+SELECT item1, item2, count1, count2, intersection,
+       ROUND(CAST(intersection AS DOUBLE) / count1, 6) AS similarity
+FROM o
+WHERE ROUND(CAST(intersection AS DOUBLE) / count1, 6) >= 0.9
 """,
         "node_similarity": """
 WITH tools AS MATERIALIZED (

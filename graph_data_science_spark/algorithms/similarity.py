@@ -194,3 +194,130 @@ def node_similarity(
             F.asc("similarity"), F.asc("node1"), F.asc("node2")
         ).limit(cfg.bottom_n)
     return out
+
+
+@dataclass
+class CategoricalSimilarityConfig:
+    """gds.alpha.similarity.jaccard / .overlap over categorical sets.
+
+    Reference: /root/reference/alpha/alpha-algo/src/main/java/org/
+    neo4j/gds/impl/similarity/CategoricalInput.java:45-72 (jaccard =
+    |a∩b| / (|a|+|b|−|a∩b|); overlap = |a∩b| / min(|a|,|b|) with the
+    pair oriented so the smaller set is the source — the
+    ``inferReverse`` swap at :60-72), JaccardAlgorithm.java:24-38,
+    OverlapAlgorithm.java, SimilarityConfig.java:59-66
+    (similarityCutoff default −1, degreeCutoff 0).
+    """
+
+    metric: str = "JACCARD"  # JACCARD | OVERLAP
+    #: per-source top-K (0 = keep all pairs), explicit tie-break
+    #: (desc similarity, asc other id) for deterministic parity
+    top_k: int = 0
+    similarity_cutoff: float = 0.0
+    #: categories shared by more than this many items are dropped
+    #: from pair generation (non-silent, under-estimates intersection
+    #: only for pairs whose overlap is exclusively hot categories);
+    #: <=0 disables — the hot-shingle cap pattern from
+    #: pipeline/dedup.ngram_jaccard_pairs
+    max_category_count: int = 0
+
+
+def categorical_similarity(
+    items: DataFrame,
+    config: CategoricalSimilarityConfig | None = None,
+    item_col: str = "item",
+    category_col: str = "category",
+) -> DataFrame:
+    """Pairwise similarity between items' categorical sets ->
+    (item1, item2, count1, count2, intersection, similarity[, rank]).
+
+    Every unordered pair with >=1 shared category is emitted once.
+    JACCARD keeps the (item1 < item2) canonical orientation; OVERLAP
+    re-orients each pair so the smaller set is item1 (ties by item
+    id), matching CategoricalInput.overlap's inferReverse swap.
+    Zero-intersection pairs are never produced (the reference skips
+    them for any similarityCutoff >= 0; the all-pairs scan that a
+    negative cutoff implies is an anti-scale shape by design).
+
+    100-TB shape: dedup + per-item count are combining groupBys; pair
+    generation is a category-keyed self-join (shuffle bounded by
+    Σ_cat n_cat² — cap hot categories with max_category_count);
+    top-K is a per-item window.
+    """
+    cfg = config or CategoricalSimilarityConfig()
+    t = (
+        items.select(
+            F.col(item_col).alias("item"),
+            F.col(category_col).alias("category"),
+        )
+        .where(F.col("item").isNotNull() & F.col("category").isNotNull())
+        .dropDuplicates(["item", "category"])
+    )
+    if cfg.max_category_count > 0:
+        hot = (
+            t.groupBy("category")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > cfg.max_category_count)
+            .select("category")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            print(
+                f"[categorical_similarity] dropping {n_hot} categories "
+                f"shared by > {cfg.max_category_count} items from pair "
+                "generation (intersection under-estimate only)"
+            )
+            t = t.join(F.broadcast(hot), "category", "left_anti")
+    t = t.persist()
+    counts = t.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    a = t.select(F.col("item").alias("item1"), "category")
+    b = t.select(F.col("item").alias("item2"), "category")
+    inter = (
+        a.join(b, "category")
+        .where(F.col("item1") < F.col("item2"))
+        .groupBy("item1", "item2")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    joined = (
+        inter.join(
+            counts.select(F.col("item").alias("item1"), F.col("cnt").alias("count1")),
+            "item1",
+        )
+        .join(
+            counts.select(F.col("item").alias("item2"), F.col("cnt").alias("count2")),
+            "item2",
+        )
+    )
+    metric = cfg.metric.upper()
+    if metric == "OVERLAP":
+        # inferReverse: orient so count1 <= count2 (ties keep id order)
+        swap = (F.col("count1") > F.col("count2")) | (
+            (F.col("count1") == F.col("count2"))
+            & (F.col("item1") > F.col("item2"))
+        )
+        joined = joined.select(
+            F.when(swap, F.col("item2")).otherwise(F.col("item1")).alias("item1"),
+            F.when(swap, F.col("item1")).otherwise(F.col("item2")).alias("item2"),
+            F.when(swap, F.col("count2")).otherwise(F.col("count1")).alias("count1"),
+            F.when(swap, F.col("count1")).otherwise(F.col("count2")).alias("count2"),
+            "intersection",
+        )
+        sim = F.col("intersection") / F.col("count1").cast("double")
+    elif metric == "JACCARD":
+        sim = F.col("intersection") / (
+            F.col("count1") + F.col("count2") - F.col("intersection")
+        ).cast("double")
+    else:
+        raise ValueError(f"metric must be JACCARD or OVERLAP, got {cfg.metric!r}")
+    out = joined.withColumn("similarity", F.round(sim, 6)).where(
+        F.col("similarity") >= cfg.similarity_cutoff
+    )
+    if cfg.top_k > 0:
+        w = Window.partitionBy("item1").orderBy(
+            F.desc("similarity"), F.asc("item2")
+        )
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= cfg.top_k)
+        )
+    return out
