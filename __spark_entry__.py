@@ -915,6 +915,30 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_perplexity(docs)
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (pipeline.classify.nb_classifier):
+    hashed-bigram multinomial Naive Bayes trained on lang=='en' as
+    the positive class, scoring every document's log-odds. Per-token
+    terms are integer-count ratios rounded to 9 dp and DECIMAL-summed
+    — parallelism-independent and value-exact in ANSI SQL."""
+    from graph_data_science_spark.pipeline import classify
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("label", (F.col("lang") == "en").cast("int"))
+    return classify.nb_classifier(labeled, bigrams=True)
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (pipeline.classify.dsir_weights,
+    arXiv:2302.03169): hashed unigram+bigram feature log-ratio of the
+    English-target distribution vs the full corpus, per document —
+    the selection signal for importance resampling."""
+    from graph_data_science_spark.pipeline import classify
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return classify.dsir_weights(docs, docs.where(F.col("lang") == "en"))
+
+
 def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training kernel (pipeline.text.bpe_pair_counts):
     corpus-wide top-50 adjacent character-pair counts within tokens —
@@ -3137,6 +3161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "tfidf_keywords": _q_tfidf_keywords,
         "lm_perplexity": _q_lm_perplexity,
+        "quality_classifier": _q_quality_classifier,
+        "dsir_weights": _q_dsir_weights,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
@@ -3916,6 +3942,106 @@ r AS (
 SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", word AS keyword,
        CAST(tf AS BIGINT) AS tf, score
 FROM r WHERE "rank" <= 3
+""",
+        "quality_classifier": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+           AS t
+  FROM documents
+),
+tb AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id,
+           UNNEST(t || CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS f
+    FROM toks
+  )
+),
+lab AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+),
+labt AS MATERIALIZED (
+  SELECT tb.bucket, lab.y FROM tb JOIN lab USING (doc_id)
+),
+counts AS (
+  SELECT bucket, SUM(y) AS c_pos, SUM(1 - y) AS c_neg FROM labt GROUP BY bucket
+),
+tot AS MATERIALIZED (
+  SELECT SUM(y) AS t_pos, SUM(1 - y) AS t_neg FROM labt
+),
+nd AS (SELECT SUM(y) AS n_pos, SUM(1 - y) AS n_neg FROM lab),
+w AS (
+  SELECT bucket,
+         CAST(ROUND(ln((c_pos + 1.0) / (t_pos + 4096.0))
+                    - ln((c_neg + 1.0) / (t_neg + 4096.0)), 9)
+              AS DECIMAL(20,9)) AS w
+  FROM counts, tot
+),
+w0 AS (
+  SELECT CAST(ROUND(ln(1.0 / (t_pos + 4096.0))
+                    - ln(1.0 / (t_neg + 4096.0)), 9)
+              AS DECIMAL(20,9)) AS w0
+  FROM tot
+),
+pri AS (
+  SELECT CAST(ROUND(ln(CAST(n_pos AS DOUBLE) / n_neg), 9)
+              AS DECIMAL(20,9)) AS prior
+  FROM nd
+),
+sc AS (
+  SELECT tb.doc_id, COUNT(*) AS n_toks, SUM(COALESCE(w.w, w0.w0)) AS s
+  FROM tb LEFT JOIN w USING (bucket), w0
+  GROUP BY tb.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(sc.n_toks, 0) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COALESCE(sc.s, 0) + pri.prior AS DOUBLE), 6) AS log_odds,
+       CAST(ROUND(CAST(COALESCE(sc.s, 0) + pri.prior AS DOUBLE), 6) > 0
+            AS INTEGER) AS pred
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, pri
+""",
+        "dsir_weights": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+           AS t
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           UNNEST(t || CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS f
+    FROM toks
+  )
+),
+c_raw AS (SELECT bucket, COUNT(*) AS c_raw FROM feats GROUP BY bucket),
+c_tgt AS (
+  SELECT bucket, COUNT(*) AS c_tgt FROM feats WHERE lang = 'en' GROUP BY bucket
+),
+t_raw AS MATERIALIZED (SELECT COUNT(*) AS t_raw FROM feats),
+t_tgt AS MATERIALIZED (SELECT COUNT(*) AS t_tgt FROM feats WHERE lang = 'en'),
+model AS (
+  SELECT COALESCE(c_raw.bucket, c_tgt.bucket) AS bucket,
+         CAST(ROUND(ln((COALESCE(c_tgt, 0) + 1.0) / (t_tgt + 4096.0))
+                    - ln((COALESCE(c_raw, 0) + 1.0) / (t_raw + 4096.0)), 9)
+              AS DECIMAL(20,9)) AS w
+  FROM c_raw FULL JOIN c_tgt USING (bucket), t_raw, t_tgt
+),
+sc AS (
+  SELECT feats.doc_id, COUNT(*) AS n_feats, SUM(model.w) AS s
+  FROM feats JOIN model USING (bucket)
+  GROUP BY feats.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       COALESCE(ROUND(CAST(sc.s AS DOUBLE), 6), 0.0) AS log_weight
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """,
         "lm_perplexity": f"""
 WITH t AS (
