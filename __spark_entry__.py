@@ -939,6 +939,34 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.dsir_weights(docs, docs.where(F.col("lang") == "en"))
 
 
+def _q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney ROC-AUC (pipeline.evaluate.binary_auc) of
+    n_chars predicting lang=='en' — all-integer numerator with
+    average-rank tie correction, ranking via the range-partitioned
+    global_rank (no single-task sort funnel)."""
+    from graph_data_science_spark.pipeline import evaluate
+
+    docs = ev.load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return evaluate.binary_auc(docs, score_col="n_chars")
+
+
+def _q_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold confusion report
+    (pipeline.evaluate.classification_report): tp/fp/tn/fn +
+    precision/recall/f1/accuracy of n_chars > 306 predicting
+    lang=='en' — one combining aggregate."""
+    from graph_data_science_spark.pipeline import evaluate
+
+    docs = ev.load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return evaluate.classification_report(
+        docs, score_col="n_chars", threshold=306.0
+    )
+
+
 def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training kernel (pipeline.text.bpe_pair_counts):
     corpus-wide top-50 adjacent character-pair counts within tokens —
@@ -3163,6 +3191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "quality_classifier": _q_quality_classifier,
         "dsir_weights": _q_dsir_weights,
+        "binary_auc": _q_binary_auc,
+        "classifier_report": _q_classifier_report,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
@@ -3942,6 +3972,51 @@ r AS (
 SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", word AS keyword,
        CAST(tf AS BIGINT) AS tf, score
 FROM r WHERE "rank" <= 3
+""",
+        "binary_auc": """
+WITH s AS (
+  SELECT n_chars AS sc, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+r AS (SELECT sc, y, ROW_NUMBER() OVER (ORDER BY sc) AS rn FROM s),
+g AS (
+  SELECT sc, CAST(SUM(y) AS DECIMAL(38,0)) AS pos,
+         CAST(MIN(rn) + MAX(rn) AS DECIMAL(38,0)) AS mm
+  FROM r GROUP BY sc
+),
+a AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, SUM(pos * mm) AS rp FROM g),
+t AS (SELECT COUNT(*) AS n FROM s)
+SELECT a.n_pos, CAST(t.n - a.n_pos AS BIGINT) AS n_neg,
+       CASE WHEN a.n_pos > 0 AND t.n - a.n_pos > 0 THEN
+         ROUND(
+           CAST(rp - CAST(a.n_pos AS DECIMAL(38,0)) * (a.n_pos + 1) AS DOUBLE)
+           / CAST(2 * CAST(a.n_pos AS DECIMAL(38,0)) * (t.n - a.n_pos)
+                  AS DOUBLE), 6)
+       END AS auc
+FROM a, t
+""",
+        "classifier_report": """
+WITH s AS (
+  SELECT CASE WHEN n_chars > 306 THEN 1 ELSE 0 END AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+a AS (
+  SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
+         CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+         CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+         CAST(SUM((1 - p) * y) AS BIGINT) AS fn
+  FROM s
+)
+SELECT tp, fp, tn, fn,
+       CASE WHEN tp + fp > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS "precision",
+       CASE WHEN tp + fn > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN ROUND(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1,
+       ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy
+FROM a
 """,
         "quality_classifier": """
 WITH toks AS MATERIALIZED (
