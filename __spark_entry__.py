@@ -939,6 +939,14 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.dsir_weights(docs, docs.where(F.col("lang") == "en"))
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (pipeline.ann.hard_negatives):
+    per embedding, top-3 most-cosine-similar vectors with a DIFFERENT
+    label — exact brute-force baseline, value-exact oracle."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.hard_negatives(emb, k=3)
+
+
 def _q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney ROC-AUC (pipeline.evaluate.binary_auc) of
     n_chars predicting lang=='en' — all-integer numerator with
@@ -1240,6 +1248,17 @@ def _q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _user_tool_graph(spark, sf_dir)
     return powerlaw_fit(g.degrees(), d_min=1)
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph_ops.assortativity, Newman 2002
+    eq. 4): Pearson correlation of endpoint degrees over the
+    undirected event graph — integer DECIMAL moment sums, one scalar
+    row, value-exact."""
+    from graph_data_science_spark.graph_ops import assortativity
+
+    e = ev.events_edges(ev.load_table(spark, sf_dir, "events"))
+    return assortativity(e)
 
 
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3193,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "binary_auc": _q_binary_auc,
         "classifier_report": _q_classifier_report,
+        "hard_negatives": _q_hard_negatives,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
@@ -3217,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pipeline": _q_sft_pipeline,
         "graph_validate": _q_graph_validate,
         "powerlaw_fit": _q_powerlaw_fit,
+        "assortativity": _q_assortativity,
         "k_core": _q_k_core,
         "table_profile": _q_table_profile,
         "jl_project": _q_jl_project,
@@ -3973,6 +3994,28 @@ SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", word AS keyword,
        CAST(tf AS BIGINT) AS tf, score
 FROM r WHERE "rank" <= 3
 """,
+        "hard_negatives": """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.label AS query_label, c.label AS neighbor_label,
+         list_dot_product(q.v, c.v)
+           / (SQRT(list_dot_product(q.v, q.v))
+              * SQRT(list_dot_product(c.v, c.v))) AS cos
+  FROM e q, e c
+  WHERE q.vec_id <> c.vec_id AND q.label IS DISTINCT FROM c.label
+)
+SELECT query_id, neighbor_id, query_label, neighbor_label,
+       ROUND(cos, 6) AS similarity, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+  ) AS rank
+  FROM pairs
+) x WHERE rank <= 3
+""",
         "binary_auc": """
 WITH s AS (
   SELECT n_chars AS sc, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
@@ -4520,6 +4563,33 @@ e{r} AS MATERIALIZED (
 SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e4 GROUP BY a
 """
         ),
+        "assortativity": f"""
+WITH {GRAPH_PRELUDE.strip()},
+e2 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+bi AS MATERIALIZED (
+  SELECT src, dst FROM e2 UNION ALL SELECT dst AS src, src AS dst FROM e2
+),
+dg AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM bi GROUP BY src
+),
+p AS (
+  SELECT CAST(dj.d AS DECIMAL(38,0)) AS j, CAST(dk.d AS DECIMAL(38,0)) AS k
+  FROM bi b JOIN dg dj ON b.src = dj.id JOIN dg dk ON b.dst = dk.id
+),
+a AS (
+  SELECT COUNT(*) AS m, SUM(j) AS sj, SUM(j * k) AS sjk, SUM(j * j) AS sjj
+  FROM p
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       CASE WHEN CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                 - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) <> 0 THEN
+         ROUND((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+               / (CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                  - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)), 6)
+       END AS r
+FROM a
+""",
         "powerlaw_fit": """
 WITH tools AS (
   SELECT event_type,

@@ -328,3 +328,54 @@ def graph_info(graph: Graph) -> dict[str, Any]:
         "density": (m / (n * (n - 1))) if n > 1 else 0.0,
         "degreeDistribution": degree_distribution(graph),
     }
+
+
+def assortativity(edges) -> "DataFrame":
+    """Degree assortativity coefficient -> ONE row (n_edges, r):
+    Pearson correlation of endpoint degrees over the undirected edge
+    list (Newman 2002, "Assortative mixing in networks", eq. 4). The
+    structural complement to powerlaw_fit: r < 0 (hubs link to
+    leaves, the usual web/link-graph shape) predicts that hub-split
+    send paths dominate; r > 0 (hub-hub cores) predicts salted
+    fan-in aggregation is the binding path.
+
+    Both orientations of every edge enter the sums, which makes the
+    estimator symmetric (j/k marginals identical) and reduces it to
+    plain Pearson over endpoint-degree pairs. Determinism: degrees
+    are integers, so all five moment sums (Σj, Σjk, Σj², M, and the
+    shared marginal) are exact DECIMAL(38,0) integer sums — no
+    floating point until the final ratio, rounded to 6 dp. NULL r
+    when the variance is 0 (regular graphs).
+
+    100-TB shape: one combining degree groupBy, two src/dst-keyed
+    joins of the edge list against the degree table (AQE-planned),
+    one scalar aggregate; nothing collected.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    both = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    pairs = (
+        both.join(deg, "src")
+        .withColumnRenamed("_d", "_j")
+        .join(deg.select(F.col("src").alias("dst"), F.col("_d").alias("_k")), "dst")
+        .select(
+            F.col("_j").cast("decimal(38,0)").alias("_j"),
+            F.col("_k").cast("decimal(38,0)").alias("_k"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("_j").alias("_sj"),
+        F.sum(F.col("_j") * F.col("_k")).alias("_sjk"),
+        F.sum(F.col("_j") * F.col("_j")).alias("_sjj"),
+    )
+    m = F.col("m").cast("double")
+    sj = F.col("_sj").cast("double")
+    num = m * F.col("_sjk").cast("double") - sj * sj
+    den = m * F.col("_sjj").cast("double") - sj * sj
+    return agg.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.when(den != 0, F.round(num / den, 6)).alias("r"),
+    )

@@ -726,3 +726,63 @@ def quantize_embeddings(
         F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q_csv"),
         F.round(mse, 10).alias("mse"),
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining -> (query_id,
+    neighbor_id, query_label, neighbor_label, similarity, rank): for
+    every vector, the top-k most-similar vectors with a DIFFERENT
+    label — the standard negative-selection recipe for embedding /
+    retrieval training (high-similarity, wrong-class examples carry
+    the gradient signal).
+
+    Exact brute force under the alpha metric kernels (cosine /
+    pearson / euclidean), ties broken by ascending neighbor id. The
+    corpus side is broadcast when small; at web scale block the pair
+    stage with ``lsh_topk``/``ivf_topk`` buckets first and apply the
+    same label-inequality predicate inside each bucket.
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {sorted(_METRICS)}, got {metric!r}")
+    from graph_data_science_spark.util import widen_scan
+
+    q = widen_scan(df).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    pairs = q.crossJoin(c).where(
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (~F.col("query_label").eqNullSafe(F.col("neighbor_label")))
+    )
+    from pyspark.sql import Window
+
+    sim = _METRICS[metric](F.col("_qv"), F.col("_cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("similarity", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "query_label",
+            "neighbor_label",
+            F.round("similarity", 6).alias("similarity"),
+            "rank",
+        )
+    )
