@@ -947,6 +947,24 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.hard_negatives(emb, k=3)
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document
+    (pipeline.text.char_entropy) — the compression-ratio quality
+    signal; -p ln p terms DECIMAL-summed, value-exact."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs)
+
+
+def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    unigram distributions (pipeline.text.corpus_divergence) — the
+    corpus-shift monitor; term-exact DECIMAL sums, one scalar row."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.corpus_divergence(
+        docs.where(F.col("lang") == "en"), docs.where(F.col("lang") != "en")
+    )
+
+
 def _q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney ROC-AUC (pipeline.evaluate.binary_auc) of
     n_chars predicting lang=='en' — all-integer numerator with
@@ -3213,6 +3231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_auc": _q_binary_auc,
         "classifier_report": _q_classifier_report,
         "hard_negatives": _q_hard_negatives,
+        "char_entropy": _q_char_entropy,
+        "corpus_divergence": _q_corpus_divergence,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
@@ -3993,6 +4013,77 @@ r AS (
 SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", word AS keyword,
        CAST(tf AS BIGINT) AS tf, score
 FROM r WHERE "rank" <= 3
+""",
+        "char_entropy": """
+WITH ch AS MATERIALIZED (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ''), c -> c <> ''))
+           AS c
+  FROM documents
+),
+cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, SUM(n) AS t, COUNT(*) AS k FROM cc GROUP BY doc_id),
+term AS (
+  SELECT cc.doc_id, tot.t, tot.k,
+         CAST(ROUND(-(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t), 9)
+              AS DECIMAL(18,9)) AS h
+  FROM cc JOIN tot USING (doc_id)
+),
+agg AS (
+  SELECT doc_id, CAST(MAX(t) AS BIGINT) AS n_chars,
+         CAST(MAX(k) AS BIGINT) AS n_distinct_chars,
+         ROUND(CAST(SUM(h) AS DOUBLE), 6) AS entropy
+  FROM term GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_chars, 0) AS n_chars,
+       COALESCE(a.n_distinct_chars, 0) AS n_distinct_chars,
+       COALESCE(a.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "corpus_divergence": """
+WITH ca AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS w
+    FROM documents WHERE lang = 'en'
+  ) GROUP BY w
+),
+cb AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS w
+    FROM documents WHERE lang <> 'en'
+  ) GROUP BY w
+),
+j AS MATERIALIZED (
+  SELECT COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+  FROM ca FULL JOIN cb ON ca.w = cb.w
+),
+tot AS MATERIALIZED (
+  SELECT SUM(cca) AS ta, SUM(ccb) AS tb, COUNT(*) AS v FROM j
+),
+t AS (
+  SELECT
+    CAST(CASE WHEN cca > 0 THEN
+      ROUND((CAST(cca AS DOUBLE) / ta)
+            * ln(2.0 * (CAST(cca AS DOUBLE) * CAST(tb AS DOUBLE))
+                 / (CAST(cca AS DOUBLE) * CAST(tb AS DOUBLE)
+                    + CAST(ccb AS DOUBLE) * CAST(ta AS DOUBLE))), 9)
+      ELSE 0.0 END AS DECIMAL(20,9)) AS ka,
+    CAST(CASE WHEN ccb > 0 THEN
+      ROUND((CAST(ccb AS DOUBLE) / tb)
+            * ln(2.0 * (CAST(ccb AS DOUBLE) * CAST(ta AS DOUBLE))
+                 / (CAST(cca AS DOUBLE) * CAST(tb AS DOUBLE)
+                    + CAST(ccb AS DOUBLE) * CAST(ta AS DOUBLE))), 9)
+      ELSE 0.0 END AS DECIMAL(20,9)) AS kb
+  FROM j, tot
+)
+SELECT CAST(tot.ta AS BIGINT) AS n_tokens_a,
+       CAST(tot.tb AS BIGINT) AS n_tokens_b,
+       CAST(tot.v AS BIGINT) AS vocab_union,
+       ROUND(CAST(SUM(ka) AS DOUBLE), 6) AS kl_a_m,
+       ROUND(CAST(SUM(kb) AS DOUBLE), 6) AS kl_b_m,
+       ROUND(CAST(SUM(ka) + SUM(kb) AS DOUBLE) / 2.0, 6) AS jsd
+FROM t, tot GROUP BY tot.ta, tot.tb, tot.v
 """,
         "hard_negatives": """
 WITH e AS (

@@ -776,3 +776,144 @@ def bpe_pair_counts(
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "pair", "n"
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy -> (id, n_chars,
+    n_distinct_chars, entropy): H = -Σ_c p_c ln p_c over the doc's
+    character distribution. The compression-ratio quality signal —
+    near-zero entropy flags repeated-character/padding junk, and
+    anomalously high entropy flags binary-in-text or encoding noise;
+    both tails are standard corpus-filter cuts.
+
+    Determinism: each -p ln p term is a function of two integer
+    counts, rounded to 9 dp and summed as DECIMAL (exact,
+    order-independent); entropy rounds to 6 dp. Docs with no
+    characters get entropy 0 with n_chars 0.
+
+    100-TB shape: widen_scan + one (id, char)-keyed combining groupBy
+    and one id-keyed groupBy — the character alphabet keeps the first
+    aggregation's map-side combine effective regardless of doc size.
+    """
+    from graph_data_science_spark.util import widen_scan
+
+    chars = widen_scan(df).select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        ).alias("_c"),
+    )
+    cc = chars.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
+    tot = cc.groupBy(id_col).agg(
+        F.sum("_n").alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    p = F.col("_n").cast("double") / F.col("_t").cast("double")
+    term = (
+        cc.join(tot, id_col)
+        .select(
+            id_col,
+            F.col("_t"),
+            F.col("n_distinct_chars"),
+            F.round(-p * F.log(p), 9).cast("decimal(18,9)").alias("_h"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("_t").cast("long").alias("n_chars"),
+            F.max("n_distinct_chars").alias("n_distinct_chars"),
+            F.round(F.sum("_h").cast("double"), 6).alias("entropy"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(term, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_chars"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions -> ONE row (n_tokens_a, n_tokens_b, vocab_union,
+    kl_a_m, kl_b_m, jsd). The distribution-shift monitor a streaming
+    ingest pipeline runs between corpus snapshots (or between a new
+    source and the existing mix): JSD near 0 = same distribution,
+    ln 2 = disjoint vocabularies.
+
+        JSD = 1/2 KL(P || M) + 1/2 KL(Q || M),  M = (P + Q) / 2
+
+    computed term-exactly: p_w/m_w = 2·c_a(w)·T_b / (c_a(w)·T_b +
+    c_b(w)·T_a) is a ratio of exact integers, each word's
+    contribution is rounded to 9 dp and DECIMAL-summed. Tokens
+    absent from one side contribute only to the other's KL term
+    (0·ln 0 = 0 by continuity).
+
+    100-TB shape: one combining token-count groupBy per corpus
+    (vocab-bounded), one full outer join of the two count tables
+    keyed by token, one scalar aggregate; nothing collected.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+            .groupBy("_w")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = counts(a, "_ca")
+    cb = counts(b, "_cb")
+    joined = (
+        ca.join(cb, "_w", "full")
+        .select(
+            F.coalesce("_ca", F.lit(0)).cast("long").alias("_ca"),
+            F.coalesce("_cb", F.lit(0)).cast("long").alias("_cb"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("_ca").cast("long").alias("ta"),
+        F.sum("_cb").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("vocab_union"),
+    )
+    w = joined.crossJoin(F.broadcast(tot))
+    ca_tb = F.col("_ca").cast("double") * F.col("tb").cast("double")
+    cb_ta = F.col("_cb").cast("double") * F.col("ta").cast("double")
+    pa = F.col("_ca").cast("double") / F.col("ta").cast("double")
+    pb = F.col("_cb").cast("double") / F.col("tb").cast("double")
+    term_a = F.when(
+        F.col("_ca") > 0,
+        F.round(pa * F.log(F.lit(2.0) * ca_tb / (ca_tb + cb_ta)), 9),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("_cb") > 0,
+        F.round(pb * F.log(F.lit(2.0) * cb_ta / (ca_tb + cb_ta)), 9),
+    ).otherwise(F.lit(0.0))
+    agg = w.agg(
+        F.max("ta").alias("n_tokens_a"),
+        F.max("tb").alias("n_tokens_b"),
+        F.max("vocab_union").alias("vocab_union"),
+        F.sum(term_a.cast("decimal(20,9)")).alias("_ka"),
+        F.sum(term_b.cast("decimal(20,9)")).alias("_kb"),
+    )
+    return agg.select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "vocab_union",
+        F.round(F.col("_ka").cast("double"), 6).alias("kl_a_m"),
+        F.round(F.col("_kb").cast("double"), 6).alias("kl_b_m"),
+        F.round(
+            (F.col("_ka") + F.col("_kb")).cast("double") / F.lit(2.0), 6
+        ).alias("jsd"),
+    )
