@@ -947,6 +947,37 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.hard_negatives(emb, k=3)
 
 
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity (graph_ops.reciprocity) over the
+    tool-transition graph (consecutive-turn tool pairs): the
+    directionality probe — n_reciprocal / n_edges over distinct
+    non-loop transitions."""
+    from pyspark.sql.window import Window
+
+    from graph_data_science_spark.graph_ops import reciprocity
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        t.select("conv_id", "turn_idx", "tool")
+        .select(
+            F.col("tool").alias("src"),
+            F.lead("tool").over(w).alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    return reciprocity(pairs)
+
+
+def _q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen (pipeline.ann.knn_label_agreement):
+    per-vector fraction of its 5 nearest cosine neighbors sharing its
+    label — confident-learning-style mislabel detection,
+    value-exact."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.knn_label_agreement(emb, k=5)
+
+
 def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document
     (pipeline.text.char_entropy) — the compression-ratio quality
@@ -3233,6 +3264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "char_entropy": _q_char_entropy,
         "corpus_divergence": _q_corpus_divergence,
+        "reciprocity": _q_reciprocity,
+        "knn_label_agreement": _q_knn_label_agreement,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
@@ -4013,6 +4046,62 @@ r AS (
 SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", word AS keyword,
        CAST(tf AS BIGINT) AS tf, score
 FROM r WHERE "rank" <= 3
+""",
+        "reciprocity": """
+WITH turns AS (
+  SELECT user_id, event_type AS tool,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+),
+p AS (
+  SELECT tool AS src,
+         lead(tool) OVER (PARTITION BY user_id ORDER BY turn_idx) AS dst
+  FROM turns
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM p
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+rc AS (
+  SELECT COUNT(*) AS n FROM e
+  WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(rc.n AS BIGINT) AS n_reciprocal,
+       CASE WHEN (SELECT COUNT(*) FROM e) > 0 THEN
+         ROUND(CAST(rc.n AS DOUBLE) / (SELECT COUNT(*) FROM e), 6)
+       END AS r
+FROM rc
+""",
+        "knn_label_agreement": """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS qid, q.label AS label, c.vec_id AS nid,
+         c.label AS nl,
+         list_dot_product(q.v, c.v)
+           / (SQRT(list_dot_product(q.v, q.v))
+              * SQRT(list_dot_product(c.v, c.v))) AS cos
+  FROM e q, e c WHERE q.vec_id <> c.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT qid, label, nl,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC)
+             AS rnk
+    FROM pairs
+  ) x WHERE rnk <= 5
+)
+SELECT qid AS vec_id, label,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(SUM(CASE WHEN nl IS NOT DISTINCT FROM label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       ROUND(CAST(SUM(CASE WHEN nl IS NOT DISTINCT FROM label
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS agreement
+FROM topk GROUP BY qid, label
 """,
         "char_entropy": """
 WITH ch AS MATERIALIZED (

@@ -379,3 +379,41 @@ def assortativity(edges) -> "DataFrame":
         (F.col("m") / 2).cast("long").alias("n_edges"),
         F.when(den != 0, F.round(num / den, 6)).alias("r"),
     )
+
+
+def reciprocity(edges) -> "DataFrame":
+    """Directed-graph reciprocity -> ONE row (n_edges, n_reciprocal,
+    r): the fraction of distinct non-loop directed edges whose
+    reverse edge also exists. The directionality probe for a link
+    graph — reply chains are purely feed-forward (r = 0), mention /
+    collaboration graphs trend reciprocal (r -> 1); r drives whether
+    the undirected projections (triangle count, node similarity)
+    roughly double the edge volume or leave it unchanged.
+
+    100-TB shape: one dedup + one self-join keyed by the reversed
+    pair (left_semi, AQE-planned) + one scalar agg; exact integers,
+    double division only in the final ratio (rounded 6 dp).
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    out = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    return out.select(
+        "n_edges",
+        "n_reciprocal",
+        F.when(
+            F.col("n_edges") > 0,
+            F.round(
+                F.col("n_reciprocal").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ),
+        ).alias("r"),
+    )

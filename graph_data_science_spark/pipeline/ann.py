@@ -786,3 +786,68 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Label-noise detection by neighborhood agreement -> (vec_id,
+    label, k_used, n_agree, agreement): for each vector, the fraction
+    of its k nearest neighbors (by the chosen metric, ties by
+    ascending id) sharing its label. The confident-learning-style
+    screen for mislabeled training examples — rows with agreement
+    near 0 sit inside a different class's cluster and are the first
+    candidates for relabel/drop.
+
+    Exact brute-force baseline (same envelope as similarity_topk);
+    at web scale run it over ``lsh_topk``/``ivf_topk`` candidates
+    instead. k_used < k only when fewer than k other vectors exist.
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {sorted(_METRICS)}, got {metric!r}")
+    from graph_data_science_spark.util import widen_scan
+
+    q = widen_scan(df).select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("label"),
+    )
+    c = df.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_nl"),
+    )
+    sim = _METRICS[metric](F.col("_qv"), F.col("_cv"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_qid").orderBy(F.desc("_s"), F.asc("_nid"))
+    topk = (
+        q.crossJoin(c)
+        .where(F.col("_qid") != F.col("_nid"))
+        .withColumn("_s", sim)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+    )
+    return (
+        topk.groupBy(F.col("_qid").alias(id_col), "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum(
+                F.when(F.col("_nl").eqNullSafe(F.col("label")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .withColumn(
+            "agreement",
+            F.round(
+                F.col("n_agree").cast("double") / F.col("k_used").cast("double"),
+                6,
+            ),
+        )
+    )
