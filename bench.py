@@ -190,6 +190,16 @@ def run_pipeline_block(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "ccnet_buckets",
         "corpus_filter",
         "render_chat",
+        "quality_classifier",
+        "dsir_weights",
+        "binary_auc",
+        "char_entropy",
+        "corpus_divergence",
+        "categorical_jaccard",
+        "hard_negatives",
+        "knn_label_agreement",
+        "assortativity",
+        "reciprocity",
     ]
     out: dict[str, float] = {}
     for name in names:
