@@ -412,6 +412,12 @@ def main() -> None:
     )
     spark = make_spark(CPUS)
     queries = run_headline(spark, SF_DIR)
+    # second pass over the same list: the first pass pays the JVM's
+    # JIT/codegen warmup in whichever query runs first (measured:
+    # pagerank 21.5 s cold vs 6.7 s warm, identical plan) — the warm
+    # numbers are the steady-state a long-lived cluster session sees,
+    # the cold ones what a fresh spark-submit pays once
+    queries_warm = run_headline(spark, SF_DIR)
     pipeline_queries = run_pipeline_block(spark, SF_DIR)
     pr_stats = timed_pagerank(spark, SF_DIR)
     recall = lsh_recall(spark, SF_DIR)
@@ -424,6 +430,11 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # steady-state repeat of the same list in the same session
+        # (cross-round comparisons use "queries"; "queries_warm" is
+        # what a resident session pays per call)
+        "queries_warm": queries_warm,
+        "value_warm_sec": round(sum(queries_warm.values()), 3),
         # round-3 pipeline operator family, timed in the same session
         # but NOT in the headline sum (headline list frozen at r1's)
         "pipeline_queries": pipeline_queries,
