@@ -255,6 +255,74 @@ def _op_table_profile(spark, df, cfg):
     return profile.profile_table(df, **cfg)
 
 
+def _op_nb_classifier(spark, df, cfg):
+    from graph_data_science_spark.pipeline import classify
+
+    return classify.nb_classifier(df, **cfg)
+
+
+def _op_dsir_weights(spark, df, cfg):
+    from graph_data_science_spark.pipeline import classify
+
+    # target rows selected by a SQL predicate over the same input,
+    # e.g. {"target_where": "lang = 'en'"}
+    where = cfg.pop("target_where", "1=1")
+    return classify.dsir_weights(df, df.where(where), **cfg)
+
+
+def _op_binary_auc(spark, df, cfg):
+    from graph_data_science_spark.pipeline import evaluate
+
+    return evaluate.binary_auc(df, **cfg)
+
+
+def _op_classification_report(spark, df, cfg):
+    from graph_data_science_spark.pipeline import evaluate
+
+    return evaluate.classification_report(df, **cfg)
+
+
+def _op_char_entropy(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    return text.char_entropy(df, **cfg)
+
+
+def _op_corpus_divergence(spark, df, cfg):
+    from graph_data_science_spark.pipeline import text
+
+    # split one input into the two corpora by a predicate, e.g.
+    # {"a_where": "lang = 'en'", "b_where": "lang <> 'en'"}
+    a_where = cfg.pop("a_where", "1=1")
+    b_where = cfg.pop("b_where", "1=1")
+    return text.corpus_divergence(df.where(a_where), df.where(b_where), **cfg)
+
+
+def _op_hard_negatives(spark, df, cfg):
+    from graph_data_science_spark.pipeline import ann
+
+    return ann.hard_negatives(df, **cfg)
+
+
+def _op_knn_label_agreement(spark, df, cfg):
+    from graph_data_science_spark.pipeline import ann
+
+    return ann.knn_label_agreement(df, **cfg)
+
+
+def _op_categorical_similarity(spark, df, cfg):
+    from graph_data_science_spark.algorithms.similarity import (
+        CategoricalSimilarityConfig,
+        categorical_similarity,
+    )
+
+    item_col = cfg.pop("item_col", "item")
+    category_col = cfg.pop("category_col", "category")
+    return categorical_similarity(
+        df, CategoricalSimilarityConfig(**cfg), item_col, category_col
+    )
+
+
 OPERATORS = {
     "exact_dedup": _op_exact_dedup,
     "minhash_lsh": _op_minhash_lsh,
@@ -289,6 +357,15 @@ OPERATORS = {
     "jl_project": _op_jl_project,
     "pca_project": _op_pca_project,
     "group_split": _op_group_split,
+    "nb_classifier": _op_nb_classifier,
+    "dsir_weights": _op_dsir_weights,
+    "binary_auc": _op_binary_auc,
+    "classification_report": _op_classification_report,
+    "char_entropy": _op_char_entropy,
+    "corpus_divergence": _op_corpus_divergence,
+    "hard_negatives": _op_hard_negatives,
+    "knn_label_agreement": _op_knn_label_agreement,
+    "categorical_similarity": _op_categorical_similarity,
 }
 
 
