@@ -947,6 +947,21 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.hard_negatives(emb, k=3)
 
 
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-N diversity ratios (pipeline.text.ngram_diversity,
+    Li et al. 2016): corpus unigram/bigram/trigram distinct-over-
+    total — the mode-collapse screen for synthetic corpora."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.ngram_diversity(docs)
+
+
+def _q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word frequency-of-frequencies (pipeline.text.freq_spectrum):
+    Good-Turing count-of-counts with an overflow bucket."""
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return text.freq_spectrum(docs, max_freq=1000)
+
+
 def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed reciprocity (graph_ops.reciprocity) over the
     tool-transition graph (consecutive-turn tool pairs): the
@@ -3266,6 +3281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_divergence": _q_corpus_divergence,
         "reciprocity": _q_reciprocity,
         "knn_label_agreement": _q_knn_label_agreement,
+        "ngram_diversity": _q_ngram_diversity,
+        "freq_spectrum": _q_freq_spectrum,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
@@ -4046,6 +4063,54 @@ r AS (
 SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", word AS keyword,
        CAST(tf AS BIGINT) AS tf, score
 FROM r WHERE "rank" <= 3
+""",
+        "ngram_diversity": """
+WITH t AS MATERIALIZED (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g1 AS (SELECT UNNEST(tk) AS g FROM t),
+g2 AS (
+  SELECT UNNEST(CASE WHEN len(tk) >= 2
+    THEN list_transform(range(1, len(tk)),
+                        i -> array_to_string(tk[i:i+1], ' '))
+    ELSE [] END) AS g
+  FROM t
+),
+g3 AS (
+  SELECT UNNEST(CASE WHEN len(tk) >= 3
+    THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+    ELSE [] END) AS g
+  FROM t
+),
+a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_1,
+              CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_1 FROM g1),
+a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_2,
+              CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_2 FROM g2),
+a3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_3,
+              CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_3 FROM g3)
+SELECT total_1, distinct_1,
+       CASE WHEN total_1 > 0
+            THEN ROUND(CAST(distinct_1 AS DOUBLE) / total_1, 6) END AS ratio_1,
+       total_2, distinct_2,
+       CASE WHEN total_2 > 0
+            THEN ROUND(CAST(distinct_2 AS DOUBLE) / total_2, 6) END AS ratio_2,
+       total_3, distinct_3,
+       CASE WHEN total_3 > 0
+            THEN ROUND(CAST(distinct_3 AS DOUBLE) / total_3, 6) END AS ratio_3
+FROM a1, a2, a3
+""",
+        "freq_spectrum": """
+WITH w AS (
+  SELECT UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w)
+SELECT CAST(CASE WHEN c <= 1000 THEN c ELSE -1 END AS BIGINT) AS freq,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM c GROUP BY 1
 """,
         "reciprocity": """
 WITH turns AS (

@@ -917,3 +917,94 @@ def corpus_divergence(
             (F.col("_ka") + F.col("_kb")).cast("double") / F.lit(2.0), 6
         ).alias("jsd"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram diversity -> ONE row (total_1, distinct_1,
+    ratio_1, ..., total_3, distinct_3, ratio_3): distinct-over-total
+    ratios for unigrams/bigrams/trigrams — the distinct-N metric
+    (Li et al. 2016) that screens synthetic/templated corpora: low
+    ratios flag mode collapse and boilerplate, ratios near 1 flag
+    noise. Ratios round to 6 dp; 0 totals give NULL ratios.
+
+    100-TB shape: one explode per n and one combining
+    count/count_distinct aggregate (distinct via the standard
+    two-phase expand); no joins, nothing collected.
+    """
+    toks = tokens(F.col(text_col))
+    out = None
+    for n in (1, 2, 3):
+        if n == 1:
+            g = toks
+        else:
+            # n-gram strings by joining n consecutive tokens; guard
+            # short docs (sequence(1, 0) DESCENDS and slice rejects 0)
+            idx = F.when(
+                F.size(toks) >= n,
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+            ).otherwise(F.array().cast("array<int>"))
+            g = F.transform(
+                idx,
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        one = (
+            df.select(F.explode(g).alias("_g"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"total_{n}"),
+                F.count_distinct("_g").cast("long").alias(f"distinct_{n}"),
+            )
+        )
+        out = one if out is None else out.crossJoin(one)
+    for n in (1, 2, 3):
+        out = out.withColumn(
+            f"ratio_{n}",
+            F.when(
+                F.col(f"total_{n}") > 0,
+                F.round(
+                    F.col(f"distinct_{n}").cast("double")
+                    / F.col(f"total_{n}").cast("double"),
+                    6,
+                ),
+            ),
+        )
+    return out.select(
+        *[
+            c
+            for n in (1, 2, 3)
+            for c in (f"total_{n}", f"distinct_{n}", f"ratio_{n}")
+        ]
+    )
+
+
+def freq_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    max_freq: int = 20,
+) -> DataFrame:
+    """Word frequency-of-frequencies -> (freq, n_types): how many
+    distinct tokens occur exactly `freq` times in the corpus, for
+    freq 1..max_freq plus one overflow row (freq = -1) counting types
+    above max_freq. The Good-Turing smoothing input and the quick
+    Zipf sanity check (n_types should fall roughly as freq^-2).
+
+    100-TB shape: one combining token-count groupBy (vocab-bounded)
+    + one tiny freq-keyed groupBy; nothing collected.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        counts.select(
+            F.when(F.col("_c") <= max_freq, F.col("_c"))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("freq")
+        )
+        .groupBy("freq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    )
