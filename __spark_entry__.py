@@ -208,6 +208,32 @@ def _eigenvector_sql(
     )
 
 
+def _katz_sql(iters: int, alpha: float = 0.5, beta: float = 1.0) -> str:
+    """Unrolled Katz fixpoint x_{k+1}(v) = beta + alpha * SUM_{u->v}
+    x_k(u) from x_0 = beta, over the reply-only edge set (the engine
+    query builds the graph with include_invokes=False).  Reply
+    in-degree <= 1, so every per-vertex sum is a single term and the
+    Spark/DuckDB float results agree bit-for-bit before rounding."""
+    ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.append("kedges AS MATERIALIZED (SELECT src, dst FROM reply)")
+    ctes.append(
+        "kverts AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM kedges UNION ALL SELECT dst FROM kedges) u)"
+    )
+    ctes.append(
+        f"k0 AS MATERIALIZED (SELECT id, CAST({beta} AS DOUBLE) AS score FROM kverts)"
+    )
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"k{k} AS MATERIALIZED (SELECT v.id, {beta} + {alpha} * COALESCE(s.c, 0.0) AS score "
+            f"FROM kverts v LEFT JOIN (SELECT e.dst AS id, SUM(p.score) AS c "
+            f"FROM kedges e JOIN k{k - 1} p ON p.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(score, 6) AS score FROM k{iters}"
+    )
+
+
 def _labelprop_sql(
     iters: int,
     und_sql: str | None = None,
@@ -945,6 +971,27 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     label — exact brute-force baseline, value-exact oracle."""
     emb = ev.load_table(spark, sf_dir, "embeddings")
     return ann.hard_negatives(emb, k=3)
+
+
+KATZ_ITERS = 6
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (algorithms.pagerank.katz, Katz 1953 — no
+    2.0-era GDS analog; the classic attenuation centrality) on the
+    reply-only graph, alpha 0.5, fixed 6 supersteps — value-exact
+    against the unrolled SQL fixpoint (in-degree <= 1, so every
+    per-vertex sum is a single term)."""
+    from graph_data_science_spark.algorithms.pagerank import KatzConfig, katz
+
+    e = ev.events_edges(
+        ev.load_table(spark, sf_dir, "events"), include_invokes=False
+    )
+    g = Graph(name="katz_reply", edges=e)
+    res = katz(
+        spark, g, KatzConfig(alpha=0.5, tolerance=0.0, max_iterations=KATZ_ITERS)
+    )
+    return res.state.select("id", F.round("score", 6).alias("score"))
 
 
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3246,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_turns": _q_pagerank_turns,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
+        "katz": _q_katz,
         "eigenvector_weighted": _q_eigenvector_weighted,
         "degree_centrality": _q_degree,
         "degree_weighted": _q_degree_weighted,
@@ -3474,6 +3522,7 @@ LEFT JOIN (
 ) d ON d.id = k.id
 """,
         "article_rank": _pagerank_sql(PR_ITERS, avg_deg_term=True),
+        "katz": _katz_sql(KATZ_ITERS),
         "eigenvector": _eigenvector_sql(EIG_ITERS),
         "eigenvector_weighted": _eigenvector_sql(
             EIG_ITERS,

@@ -328,3 +328,89 @@ def eigenvector(
         is_eigenvector=True,
     )
     return res
+
+
+@dataclass
+class KatzConfig:
+    """Katz centrality x_{t+1}(v) = beta + alpha * Σ_{u→v} x_t(u)
+    (Katz 1953). No analog in the reference's 2.0-era suite (its
+    closest relatives are eigenvector and ArticleRank); included as
+    the classic attenuation-based link-graph centrality. alpha must
+    sit below 1/λ_max of the adjacency for the series to converge —
+    on in-degree-bounded graphs (reply chains: in-degree ≤ 1) any
+    alpha < 1 is safe; on hub graphs size alpha ≈ 1/max_in_degree."""
+
+    alpha: float = 0.5
+    beta: float = 1.0
+    tolerance: float = 0.0
+    max_iterations: int = 10
+    weighted: bool = False
+
+    def __post_init__(self) -> None:
+        if not 0 < self.alpha < 1:
+            raise ValueError("alpha must be in (0, 1)")
+        if self.max_iterations < 1:
+            raise ValueError("max_iterations must be >= 1")
+
+
+class _KatzComputation(PregelComputation):
+    reducer = "sum"
+    # Katz is a FULL recompute per round (x_{t+1} = beta + alpha·Σ
+    # in-neighbor x_t), not a delta scheme: every vertex must send its
+    # current score every superstep even after its own value settles —
+    # a PageRank-style halted-sender filter silently drops upstream
+    # contributions and resets scores (observed on a 3-chain). _halted
+    # therefore only feeds the all-quiet convergence break.
+    send_full_state = True
+
+    def __init__(self, config: KatzConfig):
+        self.cfg = config
+
+    def init(self, graph: Graph) -> DataFrame:
+        return graph.vertices().select(
+            "id",
+            F.lit(float(self.cfg.beta)).alias("score"),
+            F.lit(False).alias("_halted"),
+        )
+
+    def send(self, active: DataFrame, edges: DataFrame, iteration: int) -> DataFrame:
+        joined = active.join(edges, active.id == edges.src)
+        msg = (
+            (F.col("score") * F.col("weight"))
+            if self.cfg.weighted
+            else F.col("score")
+        )
+        return joined.select(F.col("dst"), msg.alias("msg"))
+
+    def step(self, state: DataFrame, inbox: DataFrame, iteration: int) -> DataFrame:
+        new = F.lit(float(self.cfg.beta)) + F.lit(
+            float(self.cfg.alpha)
+        ) * F.coalesce(F.col("msg"), F.lit(0.0))
+        tol = self.cfg.tolerance
+        return state.join(inbox, "id", "left").select(
+            "id",
+            new.alias("score"),
+            (~(F.abs(new - F.col("score")) > F.lit(tol))).alias("_halted"),
+        )
+
+
+def katz(
+    spark: SparkSession,
+    graph: Graph,
+    config: KatzConfig | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> PregelResult:
+    """Katz centrality over the directed graph; state = (id, score).
+
+    Same Pregel envelope as PageRank: one frontier ⋈ edges send join
+    + one combining sum per superstep; fixed-iteration (tolerance 0)
+    runs are exactly reproducible and SQL-oracle-able, tolerance > 0
+    stops when every vertex moves ≤ tolerance."""
+    cfg = config or KatzConfig()
+    runner = PregelRunner(
+        spark=spark,
+        max_iterations=cfg.max_iterations,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return runner.run(_KatzComputation(cfg), graph, resume=resume)

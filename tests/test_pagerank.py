@@ -161,3 +161,49 @@ def test_pagerank_scaler_variants(spark, catalog):
 
     with pytest.raises(ValueError, match="scaler"):
         PageRankConfig(scaler="NOPE")
+
+
+def _katz_sim(edges, n, iters, alpha=0.5, beta=1.0):
+    """Exact numpy simulation of x_{t+1} = beta + alpha * A^T x_t."""
+    x = np.full(n, beta)
+    for _ in range(iters):
+        nxt = np.full(n, beta)
+        for s, t in edges:
+            nxt[t] += alpha * x[s]
+        x = nxt
+    return x
+
+
+def test_katz_fixture_parity(spark, catalog):
+    from graph_data_science_spark.algorithms.pagerank import KatzConfig, katz
+
+    g = _graph(spark, catalog, "katzg")
+    res = katz(spark, g, KatzConfig(alpha=0.5, tolerance=0.0, max_iterations=8))
+    got = {r["id"]: r["score"] for r in res.state.collect()}
+    sim = _katz_sim(PAGERANK_EDGES, 11, 8)
+    assert set(got) == set(range(11))
+    for v in range(11):
+        assert got[v] == pytest.approx(sim[v], abs=1e-9), f"node {v}"
+
+
+def test_katz_converges_with_tolerance(spark, catalog):
+    from graph_data_science_spark.algorithms.pagerank import KatzConfig, katz
+
+    g = _graph(spark, catalog, "katzg2")
+    # alpha=0.2 < 1/lambda_max on this graph; the geometric tail means
+    # per-vertex movement shrinks every round -> tolerance stop fires.
+    res = katz(spark, g, KatzConfig(alpha=0.2, tolerance=1e-6, max_iterations=60))
+    assert res.ran_iterations < 60
+    got = {r["id"]: r["score"] for r in res.state.collect()}
+    sim = _katz_sim(PAGERANK_EDGES, 11, 200, alpha=0.2)
+    for v in range(11):
+        assert got[v] == pytest.approx(sim[v], abs=1e-4), f"node {v}"
+
+
+def test_katz_alpha_validation():
+    from graph_data_science_spark.algorithms.pagerank import KatzConfig
+
+    with pytest.raises(ValueError):
+        KatzConfig(alpha=1.5)
+    with pytest.raises(ValueError):
+        KatzConfig(alpha=0.5, max_iterations=0)
