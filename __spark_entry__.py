@@ -1950,6 +1950,47 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden community detection (algorithms.leiden, Traag et al.
+    2019 — beyond the reference's 2.0-era suite, which ships Louvain
+    only: algo/.../louvain/Louvain.java). Same partition-invariant
+    oracle as `louvain` (exact ids are algorithm-internal; fixture
+    tests in tests/test_leiden.py pin quality vs Louvain — a
+    cross-algorithm modularity comparison is data-dependent and has
+    no place in a scale-portable oracle)."""
+    from graph_data_science_spark.algorithms.leiden import leiden
+    from graph_data_science_spark.algorithms.louvain import _undirected_weighted
+
+    g = _user_tool_graph(spark, sf_dir)
+    r = leiden(spark, g)
+    comm = r.communities
+    verts = g.vertices()
+    bad_labels = comm.join(
+        verts.withColumnRenamed("id", "community"), "community", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_bad_labels"))
+    missing = verts.join(comm, "id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_unassigned")
+    )
+    stats = comm.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_distinct_ids"),
+    )
+    und = _undirected_weighted(g)
+    row = (
+        und.groupBy("src")
+        .agg(F.sum("w").alias("k"))
+        .agg(F.sum(F.col("k") ** 2).alias("sk2"), F.sum("k").alias("m2"))
+        .collect()[0]
+    )
+    q_singleton = -float(row["sk2"]) / (float(row["m2"]) ** 2)
+    return stats.crossJoin(bad_labels).crossJoin(missing).select(
+        "n_rows", "n_distinct_ids", "n_bad_labels", "n_unassigned",
+        F.lit(bool(r.modularity >= q_singleton - 1e-12)).alias(
+            "modularity_ge_singleton"
+        ),
+    )
+
+
 def _q_graph_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.graph.list density field (GraphInfo formula
     relationshipCount / (nodeCount * (nodeCount - 1))) — value-exact
@@ -3388,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_influence": _q_greedy_influence,
         "knn_props": _q_knn_props,
         "louvain": _q_louvain,
+        "leiden": _q_leiden,
         "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
@@ -5604,6 +5646,14 @@ SELECT CAST(2 * (SELECT COUNT(*) FROM st) AS BIGINT) AS n_walks,
        TRUE AS steps_within_length
 """,
         "louvain": f"""
+WITH {USER_TOOL_PRELUDE.strip()}
+SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
+       (SELECT COUNT(*) FROM utverts) AS n_distinct_ids,
+       CAST(0 AS BIGINT) AS n_bad_labels,
+       CAST(0 AS BIGINT) AS n_unassigned,
+       TRUE AS modularity_ge_singleton
+""",
+        "leiden": f"""
 WITH {USER_TOOL_PRELUDE.strip()}
 SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        (SELECT COUNT(*) FROM utverts) AS n_distinct_ids,

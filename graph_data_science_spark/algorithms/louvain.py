@@ -75,8 +75,12 @@ def _undirected_weighted(graph: Graph) -> DataFrame:
     return e.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
 
 
-def _modularity(edges_und: DataFrame, comm: DataFrame, m2: float) -> float:
-    """Q = sum_c [ in_c/2m - (tot_c/2m)^2 ] over the both-direction list."""
+def _modularity(
+    edges_und: DataFrame, comm: DataFrame, m2: float, gamma: float = 1.0
+) -> float:
+    """Q = sum_c [ in_c/2m - gamma*(tot_c/2m)^2 ] over the
+    both-direction list (gamma = resolution parameter; 1.0 is the
+    classic Newman-Girvan modularity)."""
     cs = comm.select(F.col("id").alias("src"), F.col("community").alias("_cs"))
     cd = comm.select(F.col("id").alias("dst"), F.col("community").alias("_cd"))
     tagged = edges_und.join(cs, "src").join(cd, "dst")
@@ -92,7 +96,7 @@ def _modularity(edges_und: DataFrame, comm: DataFrame, m2: float) -> float:
         .collect()[0][0]
         or 0.0
     )
-    return internal / m2 - tot / (m2 * m2)
+    return internal / m2 - gamma * tot / (m2 * m2)
 
 
 def _local_moving(
@@ -109,6 +113,7 @@ def _local_moving_full(
     max_iterations: int,
     init: DataFrame | None = None,
     tolerance: float = 0.0,
+    gamma: float = 1.0,
 ) -> tuple[DataFrame, float, int, bool]:
     """Local-moving modularity optimization; returns
     ``(communities, modularity, sweeps_run, converged)``.
@@ -154,7 +159,7 @@ def _local_moving_full(
         )
     comm = comm.localCheckpoint(True)
     tr = Truncator(spark, every=4)
-    best_q = _modularity(edges_und, comm.select("id", "community"), m2)
+    best_q = _modularity(edges_und, comm.select("id", "community"), m2, gamma)
     best_comm = comm
     since_best = 0
     sweeps = 0
@@ -191,7 +196,8 @@ def _local_moving_full(
             )
             .withColumn(
                 "gain",
-                F.col("wvc") - F.col("k") * F.col("_tot_excl") / F.lit(m2),
+                F.col("wvc")
+                - F.lit(gamma) * F.col("k") * F.col("_tot_excl") / F.lit(m2),
             )
         )
         # current standing: gain of staying = w(v, own\v) - k*(tot_own-k)/m2
@@ -216,7 +222,10 @@ def _local_moving_full(
                 "_stay",
                 F.coalesce(
                     F.col("_stay_gain"),
-                    -F.col("k") * (F.col("tot_own") - F.col("k")) / F.lit(m2),
+                    -F.lit(gamma)
+                    * F.col("k")
+                    * (F.col("tot_own") - F.col("k"))
+                    / F.lit(m2),
                 ),
             )
             .withColumn(
@@ -244,7 +253,7 @@ def _local_moving_full(
 
         if best_comm is not prev_comm:
             _free_local_checkpoint(prev_comm)
-        q = _modularity(edges_und, comm.select("id", "community"), m2)
+        q = _modularity(edges_und, comm.select("id", "community"), m2, gamma)
         sweeps = it + 1
         if q > best_q + max(tolerance, 1e-12):
             best_q, best_comm, since_best = q, comm, 0
