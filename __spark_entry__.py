@@ -1907,6 +1907,41 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "distance")
 
 
+TOPO_MAX_TURN = 12
+
+
+def _topo_reply_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Reply-chain DAG truncated to the first TOPO_MAX_TURN turns per
+    conversation — Kahn peeling's round count equals DAG depth, so
+    the driver query bounds it (deep-chain correctness is pinned by
+    tests/test_toposort.py); dst % TURN_ID_BASE is the turn index."""
+    e = ev.events_edges(
+        ev.load_table(spark, sf_dir, "events"), include_invokes=False
+    ).where(F.pmod(F.col("dst"), F.lit(ev.TURN_ID_BASE)) < TOPO_MAX_TURN)
+    return Graph(name="topo_reply", edges=e)
+
+
+def _q_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.dag.topologicalSort analog (algorithms.toposort, Kahn
+    peeling; GDS 2.4 alpha — beyond the 2.0-era reference). On the
+    reply-chain DAG the level of a turn vertex is exactly its turn
+    index, so the oracle is value-exact closed-form SQL."""
+    from graph_data_science_spark.algorithms.toposort import topological_sort
+
+    res = topological_sort(spark, _topo_reply_graph(spark, sf_dir))
+    return res.order.select("id", "level")
+
+
+def _q_dag_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.dag.longestPath analog: max-plus peel over the unit-weight
+    reply DAG — dist equals the level (and the turn index), making
+    the weighted path value-exact in SQL as well."""
+    from graph_data_science_spark.algorithms.toposort import longest_path
+
+    res = longest_path(spark, _topo_reply_graph(spark, sf_dir))
+    return res.order.select("id", "level", "dist")
+
+
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-invariant oracle (VERDICT r1): exact community ids are
     algorithm-internal, but a correct run assigns every vertex exactly
@@ -3430,6 +3465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_props": _q_knn_props,
         "louvain": _q_louvain,
         "leiden": _q_leiden,
+        "toposort": _q_toposort,
+        "dag_longest_path": _q_dag_longest_path,
         "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
@@ -5652,6 +5689,33 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        CAST(0 AS BIGINT) AS n_bad_labels,
        CAST(0 AS BIGINT) AS n_unassigned,
        TRUE AS modularity_ge_singleton
+""",
+        "toposort": f"""
+WITH {GRAPH_PRELUDE.strip()},
+redge AS MATERIALIZED (
+  SELECT src, dst FROM reply WHERE dst % 1000000 < {TOPO_MAX_TURN}
+),
+rverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM redge UNION ALL SELECT dst FROM redge
+  ) u
+)
+SELECT id, CAST(id % 1000000 AS INTEGER) AS level FROM rverts
+""",
+        "dag_longest_path": f"""
+WITH {GRAPH_PRELUDE.strip()},
+redge AS MATERIALIZED (
+  SELECT src, dst FROM reply WHERE dst % 1000000 < {TOPO_MAX_TURN}
+),
+rverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM redge UNION ALL SELECT dst FROM redge
+  ) u
+)
+SELECT id,
+       CAST(id % 1000000 AS INTEGER) AS level,
+       CAST(id % 1000000 AS DOUBLE) AS dist
+FROM rverts
 """,
         "leiden": f"""
 WITH {USER_TOOL_PRELUDE.strip()}
