@@ -787,6 +787,23 @@ def _docs_with_token_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + 8-way sharding of the documents
+    table (pipeline.shards.assign_shards — the write-N-shards step of
+    a training-data build). shard/order derive from the closed-form
+    LCG uniform of pipeline.sampling, so the per-shard manifest
+    (count + total chars) is value-exact in SQL."""
+    from graph_data_science_spark.pipeline import shards
+
+    docs = ev.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    assigned = shards.assign_shards(docs, 8)
+    return shards.shard_stats(assigned, size_col="n_chars").select(
+        "shard", "n_docs", F.col("total_size").alias("total_chars")
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-Res priority sample of 50 docs, weight = token count
     (pipeline.sampling.weighted_sample) — deterministic, SQL-exact."""
@@ -3410,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
+        "shard_corpus": _q_shard_corpus,
         "weighted_sample": _q_weighted_sample,
         "sample_token_budget": _q_sample_token_budget,
         "stratified_sample": _q_stratified_sample,
@@ -3978,6 +3996,23 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+""",
+        "shard_corpus": """
+WITH u AS (
+  SELECT doc_id, length(text) AS n_chars,
+         ((doc_id % 2147483648) * 2654435761 + 42*40503 + 12345) % 2147483648 AS a
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n_chars,
+         ((((a*a) % 2147483648) * 1103515245 + a) % 2147483648 + 1.0)
+           / 2147483648 AS pos
+  FROM u
+)
+SELECT CAST(LEAST(FLOOR(pos * 8), 7) AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM d GROUP BY 1
 """,
         "weighted_sample": rf"""
 WITH t AS (
