@@ -106,33 +106,36 @@ def wcc(
     orientation (Wcc unions both endpoints, direction-blind).
     """
     cfg = config or WccConfig()
-    edges = graph.view(weight_property=True)
-    if cfg.threshold is not None:
-        edges = edges.where(F.col("weight") > F.lit(cfg.threshold))
-    if graph.directed:
-        edges = projection.orient(edges, "UNDIRECTED")
+
+    def _build() -> Graph:
+        edges = graph.view(weight_property=True)
+        if cfg.threshold is not None:
+            edges = edges.where(F.col("weight") > F.lit(cfg.threshold))
+        if graph.directed:
+            edges = projection.orient(edges, "UNDIRECTED")
+        # threshold-filtered vertices must survive as singleton
+        # components (Wcc.java unions only passing edges but keeps
+        # every node), so an edges-only graph pins its PRE-filter
+        # vertex set explicitly
+        nodes = graph.nodes
+        if nodes is None and cfg.threshold is not None:
+            nodes = graph.vertices()
+        return Graph(name=f"{graph.name}__wcc", edges=edges.select(
+            "src", "dst", F.lit("REL").alias("rel_type"), F.col("weight")
+        ), nodes=nodes, directed=False).persist()
 
     seeds = None
     if cfg.seed_column and graph.nodes is not None:
         seeds = graph.nodes.select("id", F.col(cfg.seed_column).alias("seed"))
 
-    # threshold-filtered vertices must survive as singleton components
-    # (Wcc.java unions only passing edges but keeps every node), so an
-    # edges-only graph pins its PRE-filter vertex set explicitly
-    nodes = graph.nodes
-    if nodes is None and cfg.threshold is not None:
-        nodes = graph.vertices()
-    undirected = Graph(name=f"{graph.name}__wcc", edges=edges.select(
-        "src", "dst", F.lit("REL").alias("rel_type"), F.col("weight")
-    ), nodes=nodes, directed=False).persist()
+    # memoized on the source graph: the doubled edge DF, its |E| and
+    # its Pregel layout survive across runs (lifetime = source graph)
+    undirected = graph.derived_graph(("wcc_und", cfg.threshold), _build)
 
-    try:
-        runner = PregelRunner(
-            spark=spark, max_iterations=cfg.max_iterations, checkpoint_dir=checkpoint_dir
-        )
-        res = runner.run(_WccComputation(cfg, seeds), undirected, resume=resume)
-    finally:
-        undirected.unpersist()
+    runner = PregelRunner(
+        spark=spark, max_iterations=cfg.max_iterations, checkpoint_dir=checkpoint_dir
+    )
+    res = runner.run(_WccComputation(cfg, seeds), undirected, resume=resume)
 
     out = res.state.select("id", "component")
     if cfg.consecutive_ids:

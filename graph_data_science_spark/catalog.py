@@ -44,6 +44,8 @@ class Graph:
     directed: bool = True
     _cached: list[DataFrame] = field(default_factory=list, repr=False)
     _pregel_edges: dict = field(default_factory=dict, repr=False)
+    _n_edges: int | None = field(default=None, repr=False)
+    _derived: dict = field(default_factory=dict, repr=False)
 
     def view(
         self,
@@ -134,6 +136,15 @@ class Graph:
             self._cached.append(df)
         return self._pregel_edges[key]
 
+    def derived_graph(self, key: tuple, build) -> "Graph":
+        """Per-graph memo for derived Graph handles (e.g. WCC's
+        undirected doubling): the derived graph's persisted edges,
+        memoized |E| and Pregel layouts survive across algorithm
+        runs, and :meth:`unpersist` cascades."""
+        if key not in self._derived:
+            self._derived[key] = build()
+        return self._derived[key]
+
     def pregel_edges(self, n_parts: int) -> DataFrame:
         """The Pregel runner's edge layout — hash-partitioned by src,
         sorted within partitions (sort-merge joins reuse the ordering
@@ -221,7 +232,12 @@ class Graph:
         return self.vertices().count()
 
     def edge_count(self) -> int:
-        return self.edges.count()
+        """|E| — memoized on the handle: the Pregel runner sizes its
+        partition count from it, so every algorithm run after the
+        first reuses the scan-free cached value."""
+        if self._n_edges is None:
+            self._n_edges = self.edges.count()
+        return self._n_edges
 
     def with_node_property(self, result: DataFrame, how: str = "left") -> "Graph":
         """Mutate mode: append result columns to the node property DF."""
@@ -293,6 +309,9 @@ class Graph:
             df.unpersist()
         self._cached.clear()
         self._pregel_edges.clear()
+        for g in self._derived.values():
+            g.unpersist()
+        self._derived.clear()
 
 
 class GraphCatalog:

@@ -209,9 +209,20 @@ class PregelRunner:
     #: auto threshold max(|E|/n_parts, 256); 0 disables. Only applies
     #: to computations with ``send_is_linear``.
     hub_split_threshold: int | None = None
-    #: partitions for the edge/state co-partitioning; None = session
-    #: spark.sql.shuffle.partitions
+    #: partitions for the edge/state co-partitioning; None = auto:
+    #: ceil(|E| / edges_per_partition) clamped to [1, session
+    #: spark.sql.shuffle.partitions]. Auto-sizing only ever SHRINKS
+    #: below the session setting — on a real cluster whose
+    #: shuffle.partitions is sized to the executors a 100-TB graph
+    #: always saturates the clamp, while a small graph stops paying
+    #: fixed per-task scheduling cost for near-empty partitions
+    #: (measured: WCC at 200k edges, 32 -> 8 partitions = 1.4x warm,
+    #: 2.8x cold). Set explicitly to pin a count.
     partitions: int | None = None
+    #: auto-sizing target (edges per partition); tuned so a partition
+    #: is a few MB of edge rows — far under executor memory, large
+    #: enough that task overhead amortizes
+    edges_per_partition: int = 100_000
     #: False skips the per-superstep active/row count entirely —
     #: fixed-iteration runs (tolerance 0, no vote-to-halt early exit
     #: possible) don't need it. Metrics then record active = rows =
@@ -345,13 +356,27 @@ class PregelRunner:
         co-partitioning contract holds (restored on exit).
         """
         conf = self.spark.conf
-        n_parts = self.partitions or int(conf.get("spark.sql.shuffle.partitions"))
+        session_parts = int(conf.get("spark.sql.shuffle.partitions"))
+        if self.partitions:
+            n_parts = self.partitions
+        else:
+            n_edges = graph.edge_count()
+            n_parts = max(
+                1, min(session_parts, -(-n_edges // self.edges_per_partition))
+            )
         prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # pin the session shuffle width to the loop's partition count:
+        # the message-delivery groupBy(dst) exchange follows
+        # spark.sql.shuffle.partitions, and a mismatch with the
+        # state/edge co-partitioning re-introduces an exchange per
+        # superstep join (restored on exit)
+        conf.set("spark.sql.shuffle.partitions", str(n_parts))
         try:
             return self._run_loop(computation, graph, resume, n_parts)
         finally:
             conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+            conf.set("spark.sql.shuffle.partitions", str(session_parts))
 
     def _run_loop(
         self,
