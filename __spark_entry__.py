@@ -1924,6 +1924,49 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "distance")
 
 
+RWR_RATIO = 0.2
+
+
+def _q_rwr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.graph.sample.rwr analog (algorithms.graphsample, Leskovec
+    & Faloutsos 2006; GDS 2.2 proc — beyond the 2.0-era reference).
+    Invariant oracle: sampled size lands in [target, target+walkers),
+    every sampled id is a real vertex, and the induced edge set is
+    EXACTLY the original edges with both endpoints sampled."""
+    from graph_data_science_spark.algorithms.graphsample import sample_rwr
+
+    g = _user_tool_graph(spark, sf_dir)
+    res = sample_rwr(spark, g, sampling_ratio=RWR_RATIO, seed=42)
+    target = res.stats["target"]
+    walkers = res.stats["walkers"]
+    sampled = res.graph.vertices()
+    verts = g.vertices()
+    n_bad_ids = sampled.join(verts, "id", "left_anti").count()
+    se = res.graph.edges.select("src", "dst")
+    oe = g.edges.select("src", "dst")
+    n_extra = se.join(oe, ["src", "dst"], "left_anti").count()
+    # original edges with both endpoints sampled but missing from the
+    # induced set (must be zero: induced = exact filter)
+    n_missing = (
+        oe.join(sampled.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(sampled.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .join(se, ["src", "dst"], "left_anti")
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                bool(target <= res.n_nodes < target + walkers),
+                int(n_bad_ids),
+                int(n_extra),
+                int(n_missing),
+            )
+        ],
+        "n_nodes_in_range boolean, n_bad_ids long, "
+        "n_edges_not_in_original long, n_missing_induced long",
+    )
+
+
 TOPO_MAX_TURN = 12
 
 
@@ -3485,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden": _q_leiden,
         "toposort": _q_toposort,
         "dag_longest_path": _q_dag_longest_path,
+        "rwr_sample": _q_rwr_sample,
         "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
@@ -5724,6 +5768,12 @@ SELECT (SELECT COUNT(*) FROM utverts) AS n_rows,
        CAST(0 AS BIGINT) AS n_bad_labels,
        CAST(0 AS BIGINT) AS n_unassigned,
        TRUE AS modularity_ge_singleton
+""",
+        "rwr_sample": """
+SELECT TRUE AS n_nodes_in_range,
+       CAST(0 AS BIGINT) AS n_bad_ids,
+       CAST(0 AS BIGINT) AS n_edges_not_in_original,
+       CAST(0 AS BIGINT) AS n_missing_induced
 """,
         "toposort": f"""
 WITH {GRAPH_PRELUDE.strip()},
