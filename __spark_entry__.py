@@ -2997,6 +2997,34 @@ def _q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.conversation_stats(t)
 
 
+def _q_render_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat rendering with loss-mask spans
+    (sources.transcripts.render_chat_masked): per conversation, the
+    span count must equal its assistant-turn count and the summed
+    span widths must equal the summed assistant text lengths — both
+    SQL-exact — while the Spark side additionally pins every span
+    inside the rendered text's bounds."""
+    from graph_data_science_spark.sources import transcripts as tr
+
+    t = ev.events_as_transcripts(ev.load_table(spark, sf_dir, "events"))
+    out = tr.render_chat_masked(t)
+    return out.select(
+        "conv_id",
+        F.size("loss_spans").cast("long").alias("n_spans"),
+        F.aggregate(
+            "loss_spans",
+            F.lit(0).cast("long"),
+            lambda a, s: a + s["end"] - s["start"],
+        ).alias("mask_chars"),
+        F.forall(
+            "loss_spans",
+            lambda s: (s["start"] >= 0)
+            & (s["start"] <= s["end"])
+            & (s["end"] <= F.length("text")),
+        ).alias("spans_in_bounds"),
+    )
+
+
 def _q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact conversation-level dedup
     (sources.transcripts.conversation_dedup): md5 of the ordered turn
@@ -3406,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts": _q_transcripts,
         "conversation_stats": _q_conversation_stats,
         "conversation_dedup": _q_conversation_dedup,
+        "render_masked": _q_render_masked,
         "transcript_validate": _q_transcript_validate,
         "turn_latency": _q_turn_latency,
         "tool_sequences": _q_tool_sequences,
@@ -5996,6 +6025,22 @@ SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
        ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS avg_turn_tokens,
        CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
 FROM tc GROUP BY user_id
+""",
+        "render_masked": """
+WITH turns AS (
+  SELECT user_id, props AS text,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx
+  FROM events
+)
+SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(SUM(CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spans,
+       CAST(SUM(CASE WHEN turn_idx % 2 = 1
+                     THEN length(COALESCE(text, '')) ELSE 0 END) AS BIGINT)
+         AS mask_chars,
+       TRUE AS spans_in_bounds
+FROM turns GROUP BY user_id
 """,
         "conversation_dedup": """
 WITH turns AS (

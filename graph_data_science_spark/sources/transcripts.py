@@ -286,6 +286,77 @@ def render_chat(df: DataFrame) -> DataFrame:
     )
 
 
+def render_chat_masked(
+    df: DataFrame, loss_roles: tuple[str, ...] = ("assistant",)
+) -> DataFrame:
+    """:func:`render_chat` plus **loss-mask spans** -> (conv_id,
+    n_turns, text, loss_spans) where ``loss_spans`` is an array of
+    ``(start, end)`` 0-based char offsets into ``text`` covering
+    exactly the CONTENT of each loss-bearing turn (default: assistant
+    turns), excluding its ``<|role|> `` marker — the span layout an
+    SFT trainer consumes to mask prompt tokens out of the loss.
+
+    Invariant (pinned by tests and the driver oracle):
+    ``text[start:end]`` of every span equals that turn's text
+    verbatim, so ``sum(end - start)`` over a conversation equals the
+    summed length of its loss-role turn texts.
+
+    100-TB shape: identical to render_chat — ONE map-side-combining
+    groupBy keyed by conv_id; the offset fold is a JVM higher-order
+    ``aggregate`` over the bounded per-conversation turn array, no
+    Python row path.
+    """
+    from pyspark.sql import functions as F
+
+    line = F.concat(
+        F.lit("<|"),
+        F.col("role"),
+        F.lit("|> "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("i"),
+                F.col("role").alias("role"),
+                line.alias("line"),
+            )
+        )
+    )
+    grouped = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        arr.alias("_turns"),
+    )
+    # fold turns -> (running char offset, spans); separator is the
+    # "\n" array_join inserts between lines (+1 per step)
+    is_loss = lambda s: s["role"].isin(*loss_roles)  # noqa: E731
+    span = lambda a, s: F.struct(  # noqa: E731
+        (a["off"] + F.length(s["role"]) + F.lit(5)).alias("start"),
+        (a["off"] + F.length(s["line"])).alias("end"),
+    )
+    folded = F.aggregate(
+        F.col("_turns"),
+        F.struct(
+            F.lit(0).cast("long").alias("off"),
+            F.array().cast("array<struct<start:long,end:long>>").alias("spans"),
+        ),
+        lambda a, s: F.struct(
+            (a["off"] + F.length(s["line"]) + F.lit(1)).alias("off"),
+            F.when(is_loss(s), F.concat(a["spans"], F.array(span(a, s))))
+            .otherwise(a["spans"])
+            .alias("spans"),
+        ),
+    )
+    return grouped.select(
+        "conv_id",
+        "n_turns",
+        F.array_join(
+            F.transform(F.col("_turns"), lambda s: s["line"]), "\n"
+        ).alias("text"),
+        folded["spans"].alias("loss_spans"),
+    )
+
+
 def tool_affinity(df: DataFrame, top_n: int = 50) -> DataFrame:
     """Pointwise mutual information between conversations' users and
     tools -> (rank, conv_id, tool, n_joint, pmi): which tools a

@@ -185,3 +185,59 @@ def test_tool_affinity(tiny):
     ranked = sorted(rows, key=lambda r: r["rank"])
     assert [r["rank"] for r in ranked] == list(range(1, len(rows) + 1))
     assert all(a["pmi"] >= b["pmi"] for a, b in zip(ranked, ranked[1:]))
+
+
+# ---------------------------------------------------------- loss masks
+
+def test_render_chat_masked_spans_slice_exactly(spark, tiny):
+    from graph_data_science_spark.sources.transcripts import render_chat_masked
+
+    out = {r["conv_id"]: r for r in render_chat_masked(tiny).collect()}
+    # conv a: "<|user|> hi\n<|assistant|> hello"
+    a = out["a"]
+    assert a["text"] == "<|user|> hi\n<|assistant|> hello"
+    assert len(a["loss_spans"]) == 1
+    s = a["loss_spans"][0]
+    assert a["text"][s["start"] : s["end"]] == "hello"
+    # conv c: null text renders empty; only the assistant turn masked
+    c = out["c"]
+    assert len(c["loss_spans"]) == 1
+    s = c["loss_spans"][0]
+    assert c["text"][s["start"] : s["end"]] == "y"
+    # conv d: user-only -> no spans
+    assert out["d"]["loss_spans"] == []
+
+
+def test_render_chat_masked_total_mask_chars(spark, tiny):
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.sources.transcripts import render_chat_masked
+
+    got = (
+        render_chat_masked(tiny)
+        .select(
+            F.aggregate(
+                "loss_spans",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["end"] - s["start"],
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    # assistant texts: "hello" (a), "hello" (b), "y" (c) = 11 chars
+    assert got == 11
+
+
+def test_render_chat_masked_custom_roles(spark, tiny):
+    from graph_data_science_spark.sources.transcripts import render_chat_masked
+
+    out = {
+        r["conv_id"]: r
+        for r in render_chat_masked(tiny, loss_roles=("user", "assistant")).collect()
+    }
+    a = out["a"]
+    assert [a["text"][s["start"] : s["end"]] for s in a["loss_spans"]] == [
+        "hi",
+        "hello",
+    ]
