@@ -3412,6 +3412,151 @@ def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # driver entry points
+BF_MAX_TURN = 12
+BF_M31 = 2_147_483_648  # 2^31 — id reduced mod 2^31 before the LCG
+# multiply so the product stays < 2^62 (no 64-bit wrap; same guard as
+# fastrp_exact / ann.lcg_plane, mirrored literally in the SQL oracle)
+
+
+def _bf_turn_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, vid, turn_idx) for turns below BF_MAX_TURN — the
+    bounded chain+skip lattice the bellman_ford oracle unrolls."""
+    t = ev.event_turns(ev.load_table(spark, sf_dir, "events"))
+    return t.where(F.col("turn_idx") < BF_MAX_TURN).select(
+        "user_id", "vid", "turn_idx"
+    )
+
+
+def _bf_weight(col, mult: int, mod: int, shift: int):
+    """Deterministic, possibly-negative integer edge weight from the
+    source vid: pmod(pmod(vid, 2^31) * mult, 2^31) % mod - shift."""
+    return (
+        F.pmod(
+            F.pmod(col, F.lit(BF_M31)) * F.lit(mult), F.lit(BF_M31)
+        ) % F.lit(mod) - F.lit(shift)
+    ).cast("double")
+
+
+def _q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford with negative weights (algorithms.paths.
+    bellman_ford, GDS 2.3 gds.bellmanFord analog — the 2.0-era
+    snapshot stops at non-negative Dijkstra/Δ-stepping,
+    alpha/.../ShortestPathDeltaStepping.java:60). Graph: per-user
+    chain edges turn t -> t+1 plus skip edges t -> t+2 over the first
+    BF_MAX_TURN turns (a DAG, so negative weights are safe), integer
+    LCG weights in [-2, 4] / [-3, 7], and a super-source -1 wired to
+    every user's turn 0 — one single-source run covers every user.
+    Value-exact oracle: the DAG's shortest-path DP unrolled level by
+    level in SQL (distance AND min-id optimal predecessor)."""
+    from graph_data_science_spark.algorithms.paths import bellman_ford
+
+    tv = _bf_turn_vertices(spark, sf_dir)
+    chain = (
+        tv.alias("a")
+        .join(
+            tv.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.turn_idx") == F.col("a.turn_idx") + 1),
+        )
+        .select(
+            F.col("a.vid").alias("src"),
+            F.col("b.vid").alias("dst"),
+            F.lit("CHAIN").alias("rel_type"),
+            _bf_weight(F.col("a.vid"), 2654435761, 7, 2).alias("weight"),
+        )
+    )
+    skip = (
+        tv.alias("a")
+        .join(
+            tv.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.turn_idx") == F.col("a.turn_idx") + 2),
+        )
+        .select(
+            F.col("a.vid").alias("src"),
+            F.col("b.vid").alias("dst"),
+            F.lit("SKIP").alias("rel_type"),
+            _bf_weight(F.col("a.vid"), 1103515245, 11, 3).alias("weight"),
+        )
+    )
+    src0 = tv.where(F.col("turn_idx") == 0).select(
+        F.lit(-1).cast("long").alias("src"),
+        F.col("vid").alias("dst"),
+        F.lit("SOURCE").alias("rel_type"),
+        F.lit(0.0).alias("weight"),
+    )
+    g = Graph(name="bf_lattice", edges=chain.unionByName(skip).unionByName(src0))
+    res = bellman_ford(spark, g, source=-1, directed=True)
+    return res.select(
+        "id",
+        F.col("distance").cast("double").alias("distance"),
+        "predecessor",
+        F.col("negative_cycle").cast("boolean").alias("negative_cycle"),
+    )
+
+
+def _bellman_ford_sql() -> str:
+    """Unrolled shortest-path DP over the chain+skip lattice: level k
+    depends only on levels k-1 (chain) and k-2 (skip); ties prefer
+    the smaller predecessor vid (= the skip parent), mirroring the
+    engine's min-(distance, predecessor) tie-break."""
+    m31 = BF_M31
+    ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.append(
+        f"bft AS MATERIALIZED (SELECT user_id, user_id * 1000000 + turn_idx AS vid, "
+        f"turn_idx, "
+        f"CAST((((user_id * 1000000 + turn_idx) % {m31}) * 2654435761) % {m31} % 7 - 2 AS DOUBLE) AS w1, "
+        f"CAST((((user_id * 1000000 + turn_idx) % {m31}) * 1103515245) % {m31} % 11 - 3 AS DOUBLE) AS w2 "
+        f"FROM turns WHERE turn_idx < {BF_MAX_TURN})"
+    )
+    ctes.append(
+        "bd0 AS MATERIALIZED (SELECT user_id, vid, CAST(0 AS DOUBLE) AS distance, "
+        "CAST(-1 AS BIGINT) AS predecessor FROM bft WHERE turn_idx = 0)"
+    )
+    for k in range(1, BF_MAX_TURN):
+        d1 = "(p1.distance + f1.w1)"
+        if k >= 2:
+            d2 = "(p2.distance + f2.w2)"
+            joins = (
+                f"JOIN bd{k - 1} p1 ON p1.user_id = c.user_id "
+                f"JOIN bft f1 ON f1.vid = p1.vid "
+                f"LEFT JOIN bd{k - 2} p2 ON p2.user_id = c.user_id "
+                f"LEFT JOIN bft f2 ON f2.vid = p2.vid"
+            )
+            dist = (
+                f"CASE WHEN {d2} IS NOT NULL AND {d2} <= {d1} "
+                f"THEN {d2} ELSE {d1} END"
+            )
+            pred = (
+                f"CASE WHEN {d2} IS NOT NULL AND {d2} <= {d1} "
+                f"THEN p2.vid ELSE p1.vid END"
+            )
+        else:
+            joins = (
+                f"JOIN bd0 p1 ON p1.user_id = c.user_id "
+                f"JOIN bft f1 ON f1.vid = p1.vid"
+            )
+            dist, pred = d1, "p1.vid"
+        ctes.append(
+            f"bd{k} AS MATERIALIZED (SELECT c.user_id, c.vid, "
+            f"{dist} AS distance, {pred} AS predecessor "
+            f"FROM bft c {joins} WHERE c.turn_idx = {k})"
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT vid AS id, distance, predecessor FROM bd{k}"
+        for k in range(BF_MAX_TURN)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT id, distance, predecessor, FALSE AS negative_cycle FROM ("
+        + levels
+        + " UNION ALL SELECT CAST(-1 AS BIGINT) AS id, "
+        "CAST(0 AS DOUBLE) AS distance, CAST(NULL AS BIGINT) AS predecessor"
+        ") u"
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3546,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance": _q_conductance,
         "collapse_path": _q_collapse_path,
         "sssp": _q_sssp,
+        "bellman_ford": _q_bellman_ford,
         "astar": _q_astar,
         "dfs": _q_dfs,
         "kspanning": _q_kspanning,
@@ -5551,6 +5697,7 @@ seed AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS source, CAST(-1 AS BIGINT) AS
 {_bfs_dist_ctes("und", "seed", BFS_LEVELS + 2)}
 SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
 """,
+        "bellman_ford": _bellman_ford_sql(),
         "betweenness": _betweenness_sql(BFS_LEVELS),
         "modularity": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},

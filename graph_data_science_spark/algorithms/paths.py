@@ -469,3 +469,113 @@ def shortest_path(
         return total, path
     finally:
         dist.unpersist()
+
+
+def bellman_ford(
+    spark: SparkSession,
+    graph: Graph,
+    source: int,
+    directed: bool = True,
+    weighted: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Bellman-Ford SSSP with negative weights and negative-cycle
+    detection — (id, distance, predecessor, negative_cycle).
+
+    Reference semantics: GDS ``gds.bellmanFord`` (the 2.3-era
+    BellmanFord.java; the 2.0-era snapshot ships only the
+    non-negative Dijkstra/Δ-stepping pair, this closes that forward
+    gap): single-source shortest paths where edge weights may be
+    negative; if a negative cycle is reachable from the source, the
+    vertices on or downstream of it have no finite shortest path and
+    are flagged instead of looping forever.
+
+    Spark plan — the same one-shuffle-per-round frontier relaxation
+    as :func:`sssp` (round r captures every walk of <= r edges, so
+    the fixpoint equals the Bellman-Ford DP), plus the classic
+    n-round guard: a frontier still improving after |V| rounds
+    proves a reachable negative cycle.  The affected set is then the
+    forward closure (unweighted frontier expansion) of the vertices
+    that improved in round |V|; their ``distance`` is -Infinity and
+    ``negative_cycle`` true, mirroring the reference's
+    NEGATIVE_CYCLE route marking.  Rounds on cycle-free inputs =
+    hop depth of the shortest-path tree (early exit on an empty
+    frontier), identical cost to :func:`sssp`.
+    """
+    from graph_data_science_spark.pregel import _free_local_checkpoint
+
+    edges = graph.view(weight_property=weighted)
+    if not directed:
+        edges = projection.orient(edges, "UNDIRECTED")
+    edges = edges.persist()
+    n = graph.node_count()
+
+    state = spark.createDataFrame(
+        [(int(source), 0.0, None)], "id long, distance double, predecessor long"
+    ).localCheckpoint(eager=True)
+    frontier = state
+    rounds = 0
+    cyclic_seed = None
+    for _ in range(n):
+        improved = _improved(state, _relax(frontier, edges)).localCheckpoint(
+            eager=True
+        )
+        rounds += 1
+        if improved.isEmpty():
+            break
+        prev_state, prev_frontier = state, frontier
+        state = (
+            state.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        _free_local_checkpoint(prev_state)
+        if prev_frontier is not prev_state:
+            _free_local_checkpoint(prev_frontier)
+        frontier = improved
+    else:
+        # |V| rounds without convergence: one full relaxation pass —
+        # anything that still improves sits on/behind a negative cycle
+        cyclic_seed = _improved(state, _relax(state, edges)).select(
+            "id"
+        ).localCheckpoint(eager=True)
+        if cyclic_seed.isEmpty():
+            cyclic_seed = None
+
+    contains = cyclic_seed is not None
+    if contains:
+        # forward closure of the seed set: distance has no finite value
+        closure = cyclic_seed
+        frontier = cyclic_seed
+        for _ in range(n):
+            nxt = (
+                frontier.join(edges, frontier.id == edges.src)
+                .select(F.col("dst").alias("id"))
+                .join(closure, "id", "left_anti")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            closure = closure.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        state = (
+            state.join(closure.withColumn("_neg", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_neg"), F.lit(float("-inf")))
+                .otherwise(F.col("distance"))
+                .alias("distance"),
+                F.when(F.col("_neg"), F.lit(None).cast("long"))
+                .otherwise(F.col("predecessor"))
+                .alias("predecessor"),
+                F.coalesce(F.col("_neg"), F.lit(False)).alias("negative_cycle"),
+            )
+        )
+    else:
+        state = state.withColumn("negative_cycle", F.lit(False))
+    edges.unpersist()
+    if stats is not None:
+        stats["supersteps"] = rounds
+        stats["contains_negative_cycle"] = contains
+    return state
