@@ -3557,6 +3557,104 @@ def _bellman_ford_sql() -> str:
     )
 
 
+BCC_MAX_TURN = 18  # 6 complete triangle groups per user
+_BCC_CACHE: dict = {}
+
+
+def _bcc_cactus_result(spark: SparkSession, sf_dir: str):
+    """Biconnectivity over a deterministic 'triangle-chain cactus'
+    derived from the turn table: per user, turns are grouped in
+    threes; each COMPLETE group forms a triangle (a biconnected
+    block), and consecutive complete groups are joined by a single
+    connector edge (turn 3b+2 -> 3b+3). Closed-form ground truth:
+    bridges are exactly the connectors, articulation points exactly
+    the connector endpoints — SQL-derivable, while still exercising
+    the full Euler-tour / interval-table / aux-WCC machinery on
+    cyclic structure. Cached so the bridges and articulation_points
+    driver queries share one run."""
+    key = sf_dir
+    if key in _BCC_CACHE:
+        return _BCC_CACHE[key]
+    from graph_data_science_spark.algorithms.biconnectivity import biconnectivity
+
+    t = (
+        ev.event_turns(ev.load_table(spark, sf_dir, "events"))
+        .where(F.col("turn_idx") < BCC_MAX_TURN)
+        .select(
+            "user_id", "vid", "turn_idx",
+            F.floor(F.col("turn_idx") / 3).alias("b"),
+            F.pmod(F.col("turn_idx"), F.lit(3)).alias("r"),
+        )
+    )
+    complete = t.groupBy("user_id", "b").agg(F.count(F.lit(1)).alias("_n")).where(
+        F.col("_n") == 3
+    ).select("user_id", "b")
+    tc = t.join(complete, ["user_id", "b"])
+    a, bb = tc.alias("a"), tc.alias("b2")
+    tri = a.join(
+        bb,
+        (F.col("a.user_id") == F.col("b2.user_id"))
+        & (F.col("a.b") == F.col("b2.b"))
+        & (F.col("a.r") < F.col("b2.r")),
+    ).select(
+        F.col("a.vid").alias("src"), F.col("b2.vid").alias("dst"),
+        F.lit("TRI").alias("rel_type"), F.lit(1.0).alias("weight"),
+    )
+    conn = a.join(
+        bb,
+        (F.col("a.user_id") == F.col("b2.user_id"))
+        & (F.col("b2.b") == F.col("a.b") + 1)
+        & (F.col("a.r") == 2)
+        & (F.col("b2.r") == 0),
+    ).select(
+        F.col("a.vid").alias("src"), F.col("b2.vid").alias("dst"),
+        F.lit("CONN").alias("rel_type"), F.lit(1.0).alias("weight"),
+    )
+    g = Graph(name="bcc_cactus", edges=tri.unionByName(conn))
+    res = biconnectivity(spark, g)
+    _BCC_CACHE[key] = res
+    return res
+
+
+def _q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.bridges analog (algorithms.biconnectivity, distributed
+    Tarjan-Vishkin: Euler tour + dyadic interval tables — no DFS; the
+    reference's traversal substrate alpha/.../traverse/Traverse.java:38
+    is sequential). Value-exact: on the triangle-chain cactus the
+    bridges are exactly the inter-group connector edges."""
+    res = _bcc_cactus_result(spark, sf_dir)
+    return res.bridges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+
+
+def _q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.articulationPoints analog: vertices on >= 2 biconnected
+    blocks. Value-exact: on the cactus these are exactly the
+    connector endpoints."""
+    res = _bcc_cactus_result(spark, sf_dir)
+    return res.articulation.select("id")
+
+
+_BCC_SQL_PRELUDE = f"""
+bcct AS MATERIALIZED (
+  SELECT user_id, user_id * 1000000 + turn_idx AS vid, turn_idx,
+         CAST(FLOOR(turn_idx / 3) AS BIGINT) AS b, turn_idx % 3 AS r
+  FROM turns WHERE turn_idx < {BCC_MAX_TURN}
+),
+bccc AS MATERIALIZED (
+  SELECT user_id, b FROM bcct GROUP BY user_id, b HAVING COUNT(*) = 3
+),
+bconn AS MATERIALIZED (
+  SELECT x.vid AS src, y.vid AS dst
+  FROM bcct x JOIN bccc cx ON cx.user_id = x.user_id AND cx.b = x.b
+  JOIN bcct y ON y.user_id = x.user_id AND y.b = x.b + 1 AND y.r = 0
+  JOIN bccc cy ON cy.user_id = y.user_id AND cy.b = y.b
+  WHERE x.r = 2
+)
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3692,6 +3790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_path": _q_collapse_path,
         "sssp": _q_sssp,
         "bellman_ford": _q_bellman_ford,
+        "bridges": _q_bridges,
+        "articulation_points": _q_articulation_points,
         "astar": _q_astar,
         "dfs": _q_dfs,
         "kspanning": _q_kspanning,
@@ -5698,6 +5798,18 @@ seed AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS source, CAST(-1 AS BIGINT) AS
 SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
 """,
         "bellman_ford": _bellman_ford_sql(),
+        "bridges": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+{_BCC_SQL_PRELUDE.strip()}
+SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM bconn
+""",
+        "articulation_points": f"""
+WITH {GRAPH_PRELUDE.strip().rstrip(",")},
+{_BCC_SQL_PRELUDE.strip()}
+SELECT DISTINCT id FROM (
+  SELECT src AS id FROM bconn UNION ALL SELECT dst AS id FROM bconn
+) u
+""",
         "betweenness": _betweenness_sql(BFS_LEVELS),
         "modularity": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},
