@@ -3636,6 +3636,145 @@ def _q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.articulation.select("id")
 
 
+def _q_steiner_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Steiner tree (algorithms.steiner, gds.steinerTree
+    analog — shortest-path heuristic): source = the super-source -1,
+    terminals = each user's last turn on the chain+skip lattice with
+    the bellman_ford weights shifted non-negative (%7 / %11). The
+    distributed predecessor walk merges shared prefixes. Value-exact
+    oracle: unrolled shortest-path DP + unrolled backtrack in SQL."""
+    from graph_data_science_spark.algorithms.steiner import steiner_tree
+
+    tv = _bf_turn_vertices(spark, sf_dir)
+    chain = (
+        tv.alias("a")
+        .join(
+            tv.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.turn_idx") == F.col("a.turn_idx") + 1),
+        )
+        .select(
+            F.col("a.vid").alias("src"),
+            F.col("b.vid").alias("dst"),
+            F.lit("CHAIN").alias("rel_type"),
+            (_bf_weight(F.col("a.vid"), 2654435761, 7, 2) + F.lit(2.0)).alias(
+                "weight"
+            ),
+        )
+    )
+    skip = (
+        tv.alias("a")
+        .join(
+            tv.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.turn_idx") == F.col("a.turn_idx") + 2),
+        )
+        .select(
+            F.col("a.vid").alias("src"),
+            F.col("b.vid").alias("dst"),
+            F.lit("SKIP").alias("rel_type"),
+            (_bf_weight(F.col("a.vid"), 1103515245, 11, 3) + F.lit(3.0)).alias(
+                "weight"
+            ),
+        )
+    )
+    src0 = tv.where(F.col("turn_idx") == 0).select(
+        F.lit(-1).cast("long").alias("src"),
+        F.col("vid").alias("dst"),
+        F.lit("SOURCE").alias("rel_type"),
+        F.lit(0.0).alias("weight"),
+    )
+    g = Graph(name="steiner_lattice", edges=chain.unionByName(skip).unionByName(src0))
+    terminals = (
+        tv.groupBy("user_id")
+        .agg(F.max("turn_idx").alias("mt"))
+        .join(tv, ["user_id"])
+        .where(F.col("turn_idx") == F.col("mt"))
+        .select("vid")
+    )
+    res = steiner_tree(spark, g, source=-1, terminals=terminals)
+    return res.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+
+
+def _steiner_sql() -> str:
+    """Unrolled DP (same lattice as bellman_ford, weights shifted
+    non-negative: %7 and %11) followed by an unrolled predecessor
+    backtrack from each user's last turn."""
+    m31 = BF_M31
+    ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.append(
+        f"bft AS MATERIALIZED (SELECT user_id, user_id * 1000000 + turn_idx AS vid, "
+        f"turn_idx, "
+        f"CAST((((user_id * 1000000 + turn_idx) % {m31}) * 2654435761) % {m31} % 7 AS DOUBLE) AS w1, "
+        f"CAST((((user_id * 1000000 + turn_idx) % {m31}) * 1103515245) % {m31} % 11 AS DOUBLE) AS w2 "
+        f"FROM turns WHERE turn_idx < {BF_MAX_TURN})"
+    )
+    ctes.append(
+        "bd0 AS MATERIALIZED (SELECT user_id, vid, CAST(0 AS DOUBLE) AS distance, "
+        "CAST(-1 AS BIGINT) AS predecessor FROM bft WHERE turn_idx = 0)"
+    )
+    for k in range(1, BF_MAX_TURN):
+        d1 = "(p1.distance + f1.w1)"
+        if k >= 2:
+            d2 = "(p2.distance + f2.w2)"
+            joins = (
+                f"JOIN bd{k - 1} p1 ON p1.user_id = c.user_id "
+                f"JOIN bft f1 ON f1.vid = p1.vid "
+                f"LEFT JOIN bd{k - 2} p2 ON p2.user_id = c.user_id "
+                f"LEFT JOIN bft f2 ON f2.vid = p2.vid"
+            )
+            dist = (
+                f"CASE WHEN {d2} IS NOT NULL AND {d2} <= {d1} "
+                f"THEN {d2} ELSE {d1} END"
+            )
+            pred = (
+                f"CASE WHEN {d2} IS NOT NULL AND {d2} <= {d1} "
+                f"THEN p2.vid ELSE p1.vid END"
+            )
+        else:
+            joins = (
+                f"JOIN bd0 p1 ON p1.user_id = c.user_id "
+                f"JOIN bft f1 ON f1.vid = p1.vid"
+            )
+            dist, pred = d1, "p1.vid"
+        ctes.append(
+            f"bd{k} AS MATERIALIZED (SELECT c.user_id, c.vid, "
+            f"{dist} AS distance, {pred} AS predecessor "
+            f"FROM bft c {joins} WHERE c.turn_idx = {k})"
+        )
+    ctes.append(
+        "bdall AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT vid, distance, predecessor FROM bd{k}"
+            for k in range(BF_MAX_TURN)
+        )
+        + ")"
+    )
+    ctes.append(
+        "w0 AS MATERIALIZED (SELECT b.vid FROM bft b JOIN "
+        "(SELECT user_id, MAX(turn_idx) AS mt FROM bft GROUP BY user_id) m "
+        "ON m.user_id = b.user_id AND b.turn_idx = m.mt)"
+    )
+    for j in range(1, BF_MAX_TURN + 1):
+        ctes.append(
+            f"e{j} AS MATERIALIZED (SELECT d.predecessor AS src, w.vid AS dst, "
+            f"d.distance - COALESCE(d2.distance, 0) AS weight "
+            f"FROM w{j - 1} w JOIN bdall d ON d.vid = w.vid "
+            f"LEFT JOIN bdall d2 ON d2.vid = d.predecessor)"
+        )
+        ctes.append(
+            f"w{j} AS MATERIALIZED (SELECT DISTINCT src AS vid FROM e{j} "
+            f"WHERE src <> -1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT src, dst, weight FROM e{j}" for j in range(1, BF_MAX_TURN + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT src, dst, weight FROM ({union}) u"
+    )
+
+
 _BCC_SQL_PRELUDE = f"""
 bcct AS MATERIALIZED (
   SELECT user_id, user_id * 1000000 + turn_idx AS vid, turn_idx,
@@ -3792,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bellman_ford": _q_bellman_ford,
         "bridges": _q_bridges,
         "articulation_points": _q_articulation_points,
+        "steiner_tree": _q_steiner_tree,
         "astar": _q_astar,
         "dfs": _q_dfs,
         "kspanning": _q_kspanning,
@@ -5798,6 +5938,7 @@ seed AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS source, CAST(-1 AS BIGINT) AS
 SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
 """,
         "bellman_ford": _bellman_ford_sql(),
+        "steiner_tree": _steiner_sql(),
         "bridges": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},
 {_BCC_SQL_PRELUDE.strip()}
