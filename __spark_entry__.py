@@ -3775,6 +3775,91 @@ def _steiner_sql() -> str:
     )
 
 
+HASHGNN_DIM = 32
+HASHGNN_DENSITY = 2
+HASHGNN_ITERS = 2
+HASHGNN_SEED = 9
+
+
+def _q_hashgnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashGNN binary embeddings (algorithms.hashgnn, GDS 2.3
+    gds.hashgnn analog) on the undirected user-tool graph. The LCG
+    hash family makes every min-hash draw closed-form, so the oracle
+    replays feature generation and BOTH message-passing iterations
+    exactly in SQL — a value-exact check on a graph embedding."""
+    from graph_data_science_spark.algorithms.hashgnn import hashgnn
+
+    e = ev.user_tool_edges(ev.load_table(spark, sf_dir, "events"))
+    g = Graph(name="hashgnn_ut", edges=e)
+    return hashgnn(
+        spark, g,
+        dimension=HASHGNN_DIM, density=HASHGNN_DENSITY,
+        iterations=HASHGNN_ITERS, seed=HASHGNN_SEED, directed=False,
+    ).select("id", "bit")
+
+
+def _hashgnn_sql() -> str:
+    m31 = 2_147_483_648
+    a = 2654435761
+    seed, dim, dens, iters = (
+        HASHGNN_SEED, HASHGNN_DIM, HASHGNN_DENSITY, HASHGNN_ITERS,
+    )
+
+    def lcg(x: str) -> str:
+        # operand may be negative only via id; callers pre-reduce
+        return f"((({x}) % {m31}) * {a}) % {m31}"
+
+    pm_id = f"(((id % {m31}) + {m31}) % {m31})"
+    ctes = [GRAPH_PRELUDE.strip().rstrip(",")]
+    ctes.append(
+        "hedges AS MATERIALIZED (SELECT DISTINCT e.user_id AS src, tl.tool_vid AS dst "
+        "FROM events e JOIN tools tl USING (event_type))"
+    )
+    ctes.append(
+        "hund AS MATERIALIZED (SELECT src, dst FROM hedges "
+        "UNION SELECT dst, src FROM hedges)"
+    )
+    ctes.append(
+        "hverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM hund)"
+    )
+    ctes.append(
+        "hks AS MATERIALIZED (SELECT UNNEST(RANGE("
+        + str(dens)
+        + ")) AS k)"
+    )
+    ctes.append(
+        f"hs0 AS MATERIALIZED (SELECT DISTINCT id, "
+        f"({lcg(f'{pm_id} * 31 + k * 7919 + {seed}')}) % {dim} AS bit "
+        f"FROM hverts CROSS JOIN hks)"
+    )
+    for t in range(1, iters + 1):
+        p = f"hs{t - 1}"
+        ctes.append(
+            f"hown{t} AS MATERIALIZED (SELECT id, k, bit, "
+            f"{lcg(f'bit * 1000003 + k * 7919 + {seed + 1}')} AS h "
+            f"FROM {p} CROSS JOIN hks)"
+        )
+        ctes.append(
+            f"hnb{t} AS MATERIALIZED (SELECT DISTINCT e.dst AS id, s.bit "
+            f"FROM hund e JOIN {p} s ON s.id = e.src)"
+        )
+        ctes.append(
+            f"hnbr{t} AS MATERIALIZED (SELECT id, k, bit, "
+            f"{lcg(f'bit * 1000003 + k * 7919 + {seed + 2}')} AS h "
+            f"FROM hnb{t} CROSS JOIN hks)"
+        )
+        ctes.append(
+            f"hs{t} AS MATERIALIZED (SELECT DISTINCT id, bit FROM ("
+            f"SELECT id, k, bit, ROW_NUMBER() OVER (PARTITION BY id, k "
+            f"ORDER BY h, bit) AS rn FROM "
+            f"(SELECT * FROM hown{t} UNION ALL SELECT * FROM hnbr{t}) u) x "
+            f"WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, bit FROM hs{iters}"
+    )
+
+
 _BCC_SQL_PRELUDE = f"""
 bcct AS MATERIALIZED (
   SELECT user_id, user_id * 1000000 + turn_idx AS vid, turn_idx,
@@ -3932,6 +4017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": _q_bridges,
         "articulation_points": _q_articulation_points,
         "steiner_tree": _q_steiner_tree,
+        "hashgnn": _q_hashgnn,
         "astar": _q_astar,
         "dfs": _q_dfs,
         "kspanning": _q_kspanning,
@@ -5939,6 +6025,7 @@ SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
 """,
         "bellman_ford": _bellman_ford_sql(),
         "steiner_tree": _steiner_sql(),
+        "hashgnn": _hashgnn_sql(),
         "bridges": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},
 {_BCC_SQL_PRELUDE.strip()}
