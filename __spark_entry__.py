@@ -3860,6 +3860,41 @@ def _hashgnn_sql() -> str:
     )
 
 
+def _q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered KNN (algorithms.knn.filtered_knn, GDS 2.3
+    gds.knn.filtered): sources = vec_id % 5 == 0, targets =
+    vec_id % 3 == 0, cosine top-5 — exact mode, so the brute-force
+    SQL oracle is value-exact (the approximate descent path is
+    pytest-covered with recall assertions)."""
+    from graph_data_science_spark.algorithms.knn import filtered_knn
+
+    emb = ev.load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return filtered_knn(
+        spark, emb,
+        F.pmod(F.col("id"), F.lit(5)) == 0,
+        F.pmod(F.col("id"), F.lit(3)) == 0,
+        top_k=5, exact=True,
+    )
+
+
+def _q_filtered_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered node similarity (GDS 2.3 gds.nodeSimilarity.filtered):
+    sourceNodeFilter = even users, targetNodeFilter = odd users on
+    the user-tool bipartite graph; similarity over FULL neighborhoods,
+    filters select pairs before the per-source rank."""
+    g = _user_tool_graph(spark, sf_dir)
+    verts = g.vertices()
+    src = verts.where((F.col("id") >= 0) & (F.pmod(F.col("id"), F.lit(2)) == 0))
+    tgt = verts.where((F.col("id") >= 0) & (F.pmod(F.col("id"), F.lit(2)) == 1))
+    return node_similarity(
+        spark, g,
+        NodeSimilarityConfig(top_k=10, source_filter=src, target_filter=tgt),
+    )
+
+
 _BCC_SQL_PRELUDE = f"""
 bcct AS MATERIALIZED (
   SELECT user_id, user_id * 1000000 + turn_idx AS vid, turn_idx,
@@ -4018,6 +4053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_points": _q_articulation_points,
         "steiner_tree": _q_steiner_tree,
         "hashgnn": _q_hashgnn,
+        "filtered_knn": _q_filtered_knn,
+        "filtered_node_similarity": _q_filtered_node_similarity,
         "astar": _q_astar,
         "dfs": _q_dfs,
         "kspanning": _q_kspanning,
@@ -6026,6 +6063,55 @@ SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
         "bellman_ford": _bellman_ford_sql(),
         "steiner_tree": _steiner_sql(),
         "hashgnn": _hashgnn_sql(),
+        "filtered_knn": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS node1, c.vec_id AS node2,
+         list_dot_product(q.v, c.v)
+           / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))) AS cos
+  FROM e q, e c
+  WHERE q.vec_id <> c.vec_id AND q.vec_id % 5 = 0 AND c.vec_id % 3 = 0
+)
+SELECT node1, node2, ROUND(cos, 6) AS similarity, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT node1, node2, cos,
+         ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY cos DESC, node2 ASC) AS rank
+  FROM pairs
+) x WHERE rank <= 5
+""",
+        "filtered_node_similarity": """
+WITH tools AS MATERIALIZED (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+ut AS (
+  SELECT DISTINCT e.user_id AS src, tl.tool_vid AS dst
+  FROM events e JOIN tools tl USING (event_type)
+),
+dg AS (SELECT src, COUNT(*) AS deg FROM ut GROUP BY src),
+inter AS (
+  SELECT a.src AS node1, b.src AS node2, COUNT(*) AS inter
+  FROM ut a JOIN ut b ON a.dst = b.dst AND a.src <> b.src
+  WHERE a.src >= 0 AND a.src % 2 = 0 AND b.src >= 0 AND b.src % 2 = 1
+  GROUP BY a.src, b.src
+),
+sims AS (
+  SELECT node1, node2,
+         ROUND(inter / (d1.deg + d2.deg - inter), 6) AS similarity
+  FROM inter
+  JOIN dg d1 ON d1.src = node1
+  JOIN dg d2 ON d2.src = node2
+)
+SELECT node1, node2, similarity, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT node1, node2, similarity,
+         ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY similarity DESC, node2 ASC) AS rank
+  FROM sims WHERE similarity >= 1e-42
+) x WHERE rank <= 10
+""",
         "bridges": f"""
 WITH {GRAPH_PRELUDE.strip().rstrip(",")},
 {_BCC_SQL_PRELUDE.strip()}

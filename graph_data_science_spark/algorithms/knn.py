@@ -232,3 +232,149 @@ def knn(
     current = current.localCheckpoint(eager=True)  # outlive the scratch dir
     tr.close()
     return current
+
+
+def filtered_knn(
+    spark: SparkSession,
+    nodes: DataFrame,
+    source_filter,
+    target_filter,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    top_k: int = 10,
+    similarity: str = "auto",
+    exact: bool = False,
+    iterations: int = 5,
+    random_joins: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Filtered KNN (GDS 2.3 ``gds.knn.filtered``): per SOURCE node,
+    the top-k most similar TARGET nodes — sourceNodeFilter restricts
+    which nodes get result rows, targetNodeFilter restricts the
+    candidate pool; similarity dispatches on the property type
+    exactly like :func:`knn` (SimilarityComputer.java:33-90).
+
+    ``source_filter`` / ``target_filter``: a pyspark Column predicate
+    over ``nodes`` (e.g. ``F.col("label") == "a"``).
+
+    ``exact=True`` scores every source x target pair — the
+    documented exact baseline (same role as pipeline.ann's
+    brute-force topK; use it for oracle-grade results and modest
+    target sets). The default approximate path seeds each source
+    with hash-pseudo-random targets and refines through the
+    target-target KNN graph (NN-descent expansion restricted to the
+    target domain), never scoring outside the filter.
+    """
+    if similarity == "auto":
+        dtype = dict(nodes.dtypes)[vec_col]
+        if dtype.startswith("array<float") or dtype.startswith("array<double"):
+            similarity = "cosine"
+        else:
+            similarity = _SIMILARITY_FOR_TYPE.get(dtype, "cosine")
+    base = nodes.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sources = base.where(source_filter).persist()
+    targets = base.where(target_filter).persist()
+
+    va = sources.select(F.col("id").alias("node1"), F.col("vec").alias("_va"))
+    vb = targets.select(F.col("id").alias("node2"), F.col("vec").alias("_vb"))
+
+    def score_topk(pairs: DataFrame) -> DataFrame:
+        sims = (
+            pairs.dropDuplicates(["node1", "node2"])
+            .where(F.col("node1") != F.col("node2"))
+            .join(va, "node1")
+            .join(vb, "node2")
+            .withColumn(
+                "similarity",
+                F.round(
+                    _similarity_expr(similarity, F.col("_va"), F.col("_vb")), 6
+                ),
+            )
+            .select("node1", "node2", "similarity")
+        )
+        win = Window.partitionBy("node1").orderBy(
+            F.desc("similarity"), F.asc("node2")
+        )
+        return sims.withColumn("rank", F.row_number().over(win)).where(
+            F.col("rank") <= top_k
+        )
+
+    if exact:
+        out = score_topk(
+            sources.select(F.col("id").alias("node1")).crossJoin(
+                targets.select(F.col("id").alias("node2"))
+            )
+        )
+        sources.unpersist()
+        targets.unpersist()
+        return out
+
+    from graph_data_science_spark.util import Truncator, global_rank
+
+    n_t = targets.count()
+    indexed = global_rank(
+        targets.select("id").withColumn("_h", F.xxhash64("id", F.lit(seed))),
+        ["_h"],
+        rank_col="_rn",
+    ).drop("_h")
+    cand0 = (
+        sources.select(F.col("id").alias("node1"))
+        .crossJoin(spark.range(1, top_k + 1).select(F.col("id").alias("_o")))
+        .withColumn(
+            "_rn",
+            F.pmod(
+                F.xxhash64("node1", F.lit(seed)) + F.col("_o") * 7919, F.lit(n_t)
+            )
+            + 1,
+        )
+        .join(indexed.select(F.col("id").alias("node2"), "_rn"), "_rn")
+        .select("node1", "node2")
+    )
+    # target-target neighborhood graph drives the descent expansion
+    tt = knn(
+        spark, targets, id_col="id", vec_col="vec",
+        top_k=top_k, similarity=similarity, seed=seed,
+    ).select(F.col("node1").alias("_mid"), F.col("node2").alias("_nn"))
+
+    tr = Truncator(spark)
+    current = tr.cut(score_topk(cand0))
+    for _it in range(iterations):
+        exp = (
+            current.select("node1", "node2")
+            .join(tt, current.node2 == tt._mid)
+            .select("node1", F.col("_nn").alias("node2"))
+        )
+        cand = current.select("node1", "node2").unionByName(exp)
+        if random_joins > 0:
+            # KnnBaseConfig.randomJoins analog: fresh hash-pseudo-
+            # random TARGET draws each round escape local optima the
+            # target-graph expansion cannot leave
+            rj = (
+                sources.select(F.col("id").alias("node1"))
+                .crossJoin(
+                    spark.range(random_joins).select(F.col("id").alias("_j"))
+                )
+                .withColumn(
+                    "_rn",
+                    F.pmod(
+                        F.xxhash64("node1", F.lit(_it), F.col("_j"), F.lit(seed)),
+                        F.lit(n_t),
+                    )
+                    + 1,
+                )
+                .join(indexed.select(F.col("id").alias("node2"), "_rn"), "_rn")
+                .select("node1", "node2")
+            )
+            cand = cand.unionByName(rj)
+        new = tr.cut(score_topk(cand))
+        changed = (
+            new.select("node1", "node2")
+            .exceptAll(current.select("node1", "node2"))
+            .count()
+        )
+        current = new
+        if changed == 0:
+            break
+    sources.unpersist()
+    targets.unpersist()
+    return current

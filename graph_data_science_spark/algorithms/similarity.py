@@ -50,6 +50,16 @@ class NodeSimilarityConfig:
     #: spreads over salt^2 tasks at the cost of replicating only the
     #: hub rows salt times per side
     hub_salt: int = 16
+    #: gds.nodeSimilarity.filtered (GDS 2.3) sourceNodeFilter /
+    #: targetNodeFilter analogs: restrict RESULT pairs to node1 in
+    #: source_filter and node2 in target_filter (list[int] or a
+    #: 1-column DataFrame of ids). Similarity is still computed over
+    #: FULL neighborhoods — the filter selects pairs, it does not
+    #: shrink neighbor sets (matching the reference semantics); the
+    #: semi-joins are pushed below the pair join so filtered runs
+    #: never materialize unfiltered pairs.
+    source_filter: object = None
+    target_filter: object = None
 
 
 def node_similarity(
@@ -87,6 +97,22 @@ def node_similarity(
     wcols2 = [F.col("_w").alias("_w2")] if cfg.weighted else []
     a = e.select(F.col("src").alias("node1"), "dst", *wcols1)
     b = e.select(F.col("src").alias("node2"), "dst", *wcols2)
+
+    def _filter_ids(flt, col: str) -> DataFrame | None:
+        if flt is None:
+            return None
+        if isinstance(flt, DataFrame):
+            return flt.select(F.col(flt.columns[0]).alias(col)).distinct()
+        return spark.createDataFrame(
+            [(int(x),) for x in flt], f"{col} long"
+        ).distinct()
+
+    sf = _filter_ids(cfg.source_filter, "node1")
+    if sf is not None:
+        a = a.join(sf, "node1", "left_semi")
+    tf = _filter_ids(cfg.target_filter, "node2")
+    if tf is not None:
+        b = b.join(tf, "node2", "left_semi")
 
     pcols = ["node1", "node2"] + (["_w1", "_w2"] if cfg.weighted else [])
     if cfg.hub_threshold > 0:
