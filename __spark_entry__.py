@@ -3895,6 +3895,52 @@ def _q_filtered_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KGE_DIM = 64
+
+
+def _q_kge_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE link scoring (pipeline.kge, gds.ml.kge.predict analog):
+    consecutive-vec_id edges scored against the LCG relation vector.
+    Value-exact: the norm is expanded into in-order dot products on
+    both sides (list_dot_product in DuckDB)."""
+    from graph_data_science_spark.pipeline.kge import kge_score, lcg_relation
+
+    emb = ev.load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    ids = emb.select(F.col("id").alias("src"))
+    edges = ids.join(
+        emb.select((F.col("id") - 1).alias("src"), F.col("id").alias("dst")),
+        "src",
+    )
+    return kge_score(emb, edges, relation=lcg_relation(KGE_DIM), model="transe")
+
+
+def _kge_sql() -> str:
+    from graph_data_science_spark.pipeline.kge import lcg_relation
+
+    r = lcg_relation(KGE_DIM)
+    rlist = "[" + ", ".join(repr(v) for v in r) + "]"
+    rr = repr(sum(v * v for v in r))  # exact same in-order sum as _dot(r, r)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+rel AS (SELECT CAST({rlist} AS DOUBLE[]) AS r),
+pairs AS (
+  SELECT h.vec_id AS src, t.vec_id AS dst, h.v AS hv, t.v AS tv
+  FROM e h JOIN e t ON t.vec_id = h.vec_id + 1
+)
+SELECT src, dst,
+       ROUND(-SQRT(GREATEST(
+         list_dot_product(hv, hv) + {rr} + list_dot_product(tv, tv)
+         + 2.0 * list_dot_product(hv, r)
+         - 2.0 * list_dot_product(hv, tv)
+         - 2.0 * list_dot_product(r, tv), 0.0)), 6) AS score
+FROM pairs CROSS JOIN rel
+"""
+
+
 _BCC_SQL_PRELUDE = f"""
 bcct AS MATERIALIZED (
   SELECT user_id, user_id * 1000000 + turn_idx AS vid, turn_idx,
@@ -4055,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashgnn": _q_hashgnn,
         "filtered_knn": _q_filtered_knn,
         "filtered_node_similarity": _q_filtered_node_similarity,
+        "kge_transe": _q_kge_transe,
         "astar": _q_astar,
         "dfs": _q_dfs,
         "kspanning": _q_kspanning,
@@ -6063,6 +6110,7 @@ SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
         "bellman_ford": _bellman_ford_sql(),
         "steiner_tree": _steiner_sql(),
         "hashgnn": _hashgnn_sql(),
+        "kge_transe": _kge_sql(),
         "filtered_knn": """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
