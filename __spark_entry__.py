@@ -3941,6 +3941,45 @@ FROM pairs CROSS JOIN rel
 """
 
 
+def _q_node_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.pipeline.nodeRegression analog
+    (mlpipeline.NodeRegressionPipeline). Invariant oracle: the target
+    is EXACTLY linear in the feature (y = 3*deg + 5), so a correct
+    split/CV/train/predict path must predict every vertex and reach
+    near-zero holdout RMSE with R2 ~ 1 — facts the SQL side states
+    from the input. Metric math pinned by tests/test_node_regression."""
+    from graph_data_science_spark.mlpipeline.pipelines import (
+        NodeRegressionPipeline,
+    )
+
+    g = _user_tool_graph(spark, sf_dir)
+    deg = (
+        g.edges.select(F.col("src").alias("id"))
+        .unionAll(g.edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    nodes = g.vertices().join(deg, "id", "left").select(
+        "id",
+        F.coalesce("deg", F.lit(0.0)).alias("deg"),
+        (F.lit(3.0) * F.coalesce("deg", F.lit(0.0)) + F.lit(5.0)).alias("y"),
+    )
+    lg = Graph(name="ut_reg", edges=g.edges, nodes=nodes, directed=False)
+    pipe = NodeRegressionPipeline()
+    pipe.select_features(["deg"])
+    model = pipe.train(
+        spark, lg, target_property="y", holdout_fraction=0.3,
+        validation_folds=2, seed=17,
+    )
+    pred = model.predict(spark, lg)
+    return pred.agg(F.count(F.lit(1)).alias("n_predicted")).select(
+        "n_predicted",
+        F.lit(model.metrics["test"]["RMSE"] < 1e-3).alias("rmse_tiny"),
+        F.lit(model.metrics["test"]["R2"] > 0.999).alias("r2_high"),
+        F.lit(model.metrics["train"]["MAE"] < 1e-3).alias("mae_tiny"),
+    )
+
+
 _BCC_SQL_PRELUDE = f"""
 bcct AS MATERIALIZED (
   SELECT user_id, user_id * 1000000 + turn_idx AS vid, turn_idx,
@@ -4102,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_knn": _q_filtered_knn,
         "filtered_node_similarity": _q_filtered_node_similarity,
         "kge_transe": _q_kge_transe,
+        "node_regression": _q_node_regression,
         "astar": _q_astar,
         "dfs": _q_dfs,
         "kspanning": _q_kspanning,
@@ -6111,6 +6151,24 @@ SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
         "steiner_tree": _steiner_sql(),
         "hashgnn": _hashgnn_sql(),
         "kge_transe": _kge_sql(),
+        "node_regression": """
+WITH tools AS MATERIALIZED (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+ut AS MATERIALIZED (
+  SELECT DISTINCT e.user_id AS src, tl.tool_vid AS dst
+  FROM events e JOIN tools tl USING (event_type)
+),
+utverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM ut UNION ALL SELECT dst FROM ut) u
+)
+SELECT (SELECT COUNT(*) FROM utverts) AS n_predicted,
+       TRUE AS rmse_tiny,
+       TRUE AS r2_high,
+       TRUE AS mae_tiny
+""",
         "filtered_knn": """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -504,3 +504,157 @@ class LinkPredictionPipeline:
             metrics=metrics,
             steps=self.steps,
         )
+
+
+# -- node regression --------------------------------------------------------
+
+
+def _regression_metrics(pred: DataFrame, label_col: str = "label") -> dict[str, float]:
+    """MSE / RMSE / MAE / R2 from one aggregate pass (the metric set
+    of gds.alpha.pipeline.nodeRegression; GDS 2.2+)."""
+    row = pred.agg(
+        F.avg((F.col("prediction") - F.col(label_col)) ** 2).alias("mse"),
+        F.avg(F.abs(F.col("prediction") - F.col(label_col))).alias("mae"),
+        F.var_pop(F.col(label_col)).alias("var"),
+    ).collect()[0]
+    mse = float(row["mse"] or 0.0)
+    var = float(row["var"] or 0.0)
+    return {
+        "MSE": mse,
+        "RMSE": mse ** 0.5,
+        "MAE": float(row["mae"] or 0.0),
+        "R2": 1.0 - mse / var if var > 0 else 0.0,
+    }
+
+
+@dataclass
+class NodeRegressionModel:
+    lr_model: Any
+    feature_cols: list[str]
+    best_params: dict[str, Any]
+    metrics: dict[str, Any]
+    steps: list[NodePropertyStep]
+
+    def predict(self, spark: SparkSession, graph: Graph) -> DataFrame:
+        """(id, prediction) for every node carrying the features."""
+        g = graph
+        for step in self.steps:
+            g = step.run(spark, g)
+        data = _assemble_features(g.nodes, self.feature_cols)
+        return self.lr_model.transform(data).select("id", "prediction")
+
+
+class NodeRegressionPipeline:
+    """gds.alpha.pipeline.nodeRegression analog (GDS 2.2; the 2.0-era
+    reference ships only the classification/link-prediction
+    pipelines, proc/.../MLTrainProc lineage). Same shape as
+    NodeClassificationPipeline: node-property mutate steps produce
+    features, deterministic hash buckets give the holdout and k-fold
+    splits, the param grid is cross-validated, and the winner
+    refits on train+validation.
+
+    The trainer is Spark ML LinearRegression (normal/huber losses —
+    GDS's LinearRegression analog; RandomForest is a grid entry away
+    via ``trainer='rf'``)."""
+
+    def __init__(self) -> None:
+        self.steps: list[NodePropertyStep] = []
+        self.feature_cols: list[str] = []
+        self.param_grid: list[dict[str, Any]] = [{}]
+
+    def add_node_property(self, proc: str, mutate_property: str, **config) -> None:
+        self.steps.append(NodePropertyStep(proc, mutate_property, config))
+
+    def select_features(self, cols: list[str]) -> None:
+        self.feature_cols = list(cols)
+
+    def set_params(self, grid: list[dict[str, Any]]) -> None:
+        """Keys: penalty (regParam), max_iterations, tolerance,
+        trainer ('lr' | 'rf'), rf params (num_trees, max_depth)."""
+        self.param_grid = [dict(g) for g in grid] or [{}]
+
+    def _fit(self, train: DataFrame, params: dict[str, Any]):
+        if params.get("trainer", "lr") == "rf":
+            from pyspark.ml.regression import RandomForestRegressor
+
+            m = RandomForestRegressor(
+                featuresCol="features",
+                labelCol="label",
+                numTrees=int(params.get("num_trees", 20)),
+                maxDepth=int(params.get("max_depth", 5)),
+                seed=int(params.get("seed", 42)),
+            ).fit(train)
+        else:
+            from pyspark.ml.regression import LinearRegression
+
+            m = LinearRegression(
+                featuresCol="features",
+                labelCol="label",
+                regParam=float(params.get("penalty", 0.0)),
+                maxIter=int(params.get("max_iterations", 100)),
+                tol=float(params.get("tolerance", 1e-6)),
+                standardization=True,
+            ).fit(train)
+        _drop_training_summary(m)
+        return m
+
+    def train(
+        self,
+        spark: SparkSession,
+        graph: Graph,
+        target_property: str,
+        holdout_fraction: float = 0.3,
+        validation_folds: int = 5,
+        metric: str = "RMSE",
+        seed: int = 42,
+    ) -> NodeRegressionModel:
+        g = graph
+        for step in self.steps:
+            g = step.run(spark, g)
+        if g.nodes is None:
+            raise ValueError("node regression needs a nodes DF with properties")
+        labeled = g.nodes.where(F.col(target_property).isNotNull())
+        data = _assemble_features(labeled, self.feature_cols).withColumn(
+            "label", F.col(target_property).cast("double")
+        )
+        data = data.localCheckpoint(eager=True)
+        bucket = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(_BUCKETS))
+        test = data.where(bucket < int(holdout_fraction * _BUCKETS))
+        trainval = data.where(bucket >= int(holdout_fraction * _BUCKETS)).withColumn(
+            "fold", F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(validation_folds))
+        )
+        trainval.persist()
+        try:
+            # lower-is-better metrics flip the selection sign
+            sign = -1.0 if metric in ("MSE", "RMSE", "MAE") else 1.0
+            scores: list[tuple[float, int]] = []
+            for pi, params in enumerate(self.param_grid):
+                vals = []
+                for fold in range(validation_folds):
+                    m = self._fit(trainval.where(F.col("fold") != fold), params)
+                    vals.append(
+                        _regression_metrics(
+                            m.transform(trainval.where(F.col("fold") == fold))
+                        )[metric]
+                    )
+                scores.append((sign * sum(vals) / len(vals), pi))
+            best_pi = max(scores, key=lambda s: (s[0], -s[1]))[1]
+            best_params = self.param_grid[best_pi]
+            winner = self._fit(trainval, best_params)
+            out_metrics = {
+                "validation": {metric: sign * max(scores)[0]},
+                "train": _regression_metrics(winner.transform(trainval)),
+                "test": _regression_metrics(winner.transform(test)),
+            }
+        finally:
+            trainval.unpersist()
+            from graph_data_science_spark.pregel import _free_local_checkpoint
+
+            _free_local_checkpoint(data)
+        return NodeRegressionModel(
+            lr_model=winner,
+            feature_cols=self.feature_cols,
+            best_params=best_params,
+            metrics=out_metrics,
+            steps=self.steps,
+        )
