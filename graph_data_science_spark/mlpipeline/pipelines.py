@@ -49,6 +49,30 @@ from graph_data_science_spark.catalog import Graph
 _BUCKETS = 1_000_000
 
 
+
+def _retry_py4j(fn, attempts: int = 3):
+    """Retry a JVM-side ML call on the py4j object-GC race.
+
+    Fitting many short-lived models (CV folds x param grid) races
+    Python finalizers detaching JVM objects against new wrapper
+    construction on the shared gateway; the symptom is a spurious
+    "Target Object ID does not exist" Py4JError. The operation is
+    idempotent (pure fit/transform), so retrying after a collect is
+    safe and cheap."""
+    import gc
+
+    from py4j.protocol import Py4JError
+
+    last = None
+    for _ in range(attempts):
+        try:
+            return fn()
+        except Py4JError as exc:  # pragma: no cover - timing-dependent
+            last = exc
+            gc.collect()
+    raise last
+
+
 def _assemble_features(df: DataFrame, feature_cols: list[str], out: str = "features") -> DataFrame:
     """Concatenate scalar and array<numeric> columns into one ML vector."""
     from pyspark.ml.functions import array_to_vector
@@ -196,11 +220,26 @@ class NodeClassificationPipeline:
         self.feature_cols = list(cols)
 
     def set_params(self, grid: list[dict[str, Any]]) -> None:
-        """Candidate LR configs; keys: penalty (L2 regParam analog),
-        max_iterations, tolerance (NodeLogisticRegressionTrainConfig)."""
+        """Candidate trainer configs; keys: penalty (L2 regParam
+        analog), max_iterations, tolerance
+        (NodeLogisticRegressionTrainConfig), or trainer='rf' with
+        num_trees/max_depth (GDS's RandomForestClassifier trainer,
+        addRandomForest)."""
         self.param_grid = [dict(g) for g in grid] or [{}]
 
     def _fit(self, train: DataFrame, params: dict[str, Any]):
+        if params.get("trainer", "lr") == "rf":
+            from pyspark.ml.classification import RandomForestClassifier
+
+            m = RandomForestClassifier(
+                featuresCol="features",
+                labelCol="label",
+                numTrees=int(params.get("num_trees", 20)),
+                maxDepth=int(params.get("max_depth", 5)),
+                seed=int(params.get("seed", 42)),
+            ).fit(train)
+            _drop_training_summary(m)
+            return m
         from pyspark.ml.classification import LogisticRegression
 
         m = LogisticRegression(
@@ -258,14 +297,16 @@ class NodeClassificationPipeline:
             for pi, params in enumerate(self.param_grid):
                 vals = []
                 for fold in range(validation_folds):
-                    m = self._fit(trainval.where(F.col("fold") != fold), params)
+                    m = _retry_py4j(
+                        lambda: self._fit(trainval.where(F.col("fold") != fold), params)
+                    )
                     conf = _confusion(m.transform(trainval.where(F.col("fold") == fold)))
                     vals.append(_classification_metrics(conf)[metric])
                 scores.append((sum(vals) / len(vals), pi))
             # deterministic tie-break: earlier grid entry wins
             best_pi = max(scores, key=lambda s: (s[0], -s[1]))[1]
             best_params = self.param_grid[best_pi]
-            winner = self._fit(trainval, best_params)
+            winner = _retry_py4j(lambda: self._fit(trainval, best_params))
             out_metrics = {
                 "validation": {metric: max(scores)[0]},
                 "train": _classification_metrics(_confusion(winner.transform(trainval))),
@@ -631,7 +672,9 @@ class NodeRegressionPipeline:
             for pi, params in enumerate(self.param_grid):
                 vals = []
                 for fold in range(validation_folds):
-                    m = self._fit(trainval.where(F.col("fold") != fold), params)
+                    m = _retry_py4j(
+                        lambda: self._fit(trainval.where(F.col("fold") != fold), params)
+                    )
                     vals.append(
                         _regression_metrics(
                             m.transform(trainval.where(F.col("fold") == fold))
@@ -640,7 +683,7 @@ class NodeRegressionPipeline:
                 scores.append((sign * sum(vals) / len(vals), pi))
             best_pi = max(scores, key=lambda s: (s[0], -s[1]))[1]
             best_params = self.param_grid[best_pi]
-            winner = self._fit(trainval, best_params)
+            winner = _retry_py4j(lambda: self._fit(trainval, best_params))
             out_metrics = {
                 "validation": {metric: sign * max(scores)[0]},
                 "train": _regression_metrics(winner.transform(trainval)),

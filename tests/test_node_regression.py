@@ -55,3 +55,21 @@ def test_random_forest_trainer_runs(spark, catalog):
     # 15 distinct (f1, f2) cells -> a depth-4 forest fits well
     assert model.metrics["test"]["R2"] > 0.8
     assert model.predict(spark, g).count() == 40
+
+
+def test_rf_classifier_trainer(spark, catalog):
+    """GDS addRandomForest analog on the classification pipeline."""
+    from graph_data_science_spark.mlpipeline import NodeClassificationPipeline
+
+    g = _graph(spark, catalog, "nrc")
+    nodes = g.nodes.withColumn(
+        "cls", F.when(F.col("f1") >= 2.5, F.lit("hi")).otherwise(F.lit("lo"))
+    )
+    cg = Graph(name="nrc_cls", edges=g.edges, nodes=nodes, directed=False)
+    pipe = NodeClassificationPipeline()
+    pipe.select_features(["f1", "f2"])
+    pipe.set_params([{"trainer": "rf", "num_trees": 10, "max_depth": 4}])
+    model = pipe.train(
+        spark, cg, target_property="cls", validation_folds=2, seed=5
+    )
+    assert model.metrics["test"]["ACCURACY"] > 0.9
