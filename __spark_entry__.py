@@ -1967,6 +1967,57 @@ def _q_rwr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cnarw_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.graph.sample.cnarw analog (common-neighbor-aware walk,
+    Li et al. 2019; GDS 2.4): the RWR invariants plus the weight-table
+    contract — every per-edge weight in (0, 1] and every edge of the
+    walk graph carries one (both SQL-stateable facts)."""
+    from graph_data_science_spark.algorithms.graphsample import (
+        common_neighbor_weights,
+        sample_cnarw,
+    )
+
+    g = _user_tool_graph(spark, sf_dir)
+    res = sample_cnarw(spark, g, sampling_ratio=RWR_RATIO, seed=42)
+    target = res.stats["target"]
+    walkers = res.stats["walkers"]
+    sampled = res.graph.vertices()
+    verts = g.vertices()
+    n_bad_ids = sampled.join(verts, "id", "left_anti").count()
+    se = res.graph.edges.select("src", "dst")
+    oe = g.edges.select("src", "dst")
+    n_extra = se.join(oe, ["src", "dst"], "left_anti").count()
+    n_missing = (
+        oe.join(sampled.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(sampled.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .join(se, ["src", "dst"], "left_anti")
+        .count()
+    )
+    w = common_neighbor_weights(spark, g)
+    n_bad_w = w.where((F.col("w") <= 0) | (F.col("w") > 1)).count()
+    und = (
+        oe.unionByName(oe.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    n_unweighted = und.join(w, ["src", "dst"], "left_anti").count()
+    return spark.createDataFrame(
+        [
+            (
+                bool(target <= res.n_nodes < target + walkers),
+                int(n_bad_ids),
+                int(n_extra),
+                int(n_missing),
+                int(n_bad_w),
+                int(n_unweighted),
+            )
+        ],
+        "n_nodes_in_range boolean, n_bad_ids long, "
+        "n_edges_not_in_original long, n_missing_induced long, "
+        "n_bad_weights long, n_unweighted_edges long",
+    )
+
+
 TOPO_MAX_TURN = 12
 
 
@@ -4154,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toposort": _q_toposort,
         "dag_longest_path": _q_dag_longest_path,
         "rwr_sample": _q_rwr_sample,
+        "cnarw_sample": _q_cnarw_sample,
         "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
@@ -6482,6 +6534,14 @@ SELECT TRUE AS n_nodes_in_range,
        CAST(0 AS BIGINT) AS n_bad_ids,
        CAST(0 AS BIGINT) AS n_edges_not_in_original,
        CAST(0 AS BIGINT) AS n_missing_induced
+""",
+        "cnarw_sample": """
+SELECT TRUE AS n_nodes_in_range,
+       CAST(0 AS BIGINT) AS n_bad_ids,
+       CAST(0 AS BIGINT) AS n_edges_not_in_original,
+       CAST(0 AS BIGINT) AS n_missing_induced,
+       CAST(0 AS BIGINT) AS n_bad_weights,
+       CAST(0 AS BIGINT) AS n_unweighted_edges
 """,
         "toposort": f"""
 WITH {GRAPH_PRELUDE.strip()},

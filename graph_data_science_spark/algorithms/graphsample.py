@@ -60,6 +60,7 @@ def sample_rwr(
     start_nodes: DataFrame | None = None,
     walkers: int | None = None,
     max_rounds: int = 1000,
+    edge_weights: DataFrame | None = None,
 ) -> RwrSampleResult:
     """Sample ~``sampling_ratio`` of the vertices by RWR; returns the
     induced subgraph. Deterministic in (graph, config, seed).
@@ -140,7 +141,7 @@ def sample_rwr(
             continue
         # candidate next hops for every walker
         cand = state.join(edges, state.cur == edges.src).select(
-            "wid", "start", F.col("dst").alias("nxt")
+            "wid", "start", F.col("cur").alias("_cur"), F.col("dst").alias("nxt")
         )
         u = (
             F.pmod(
@@ -149,7 +150,25 @@ def sample_rwr(
             )
             / F.lit(float(1 << 24))
         )
-        pick_w = Window.partitionBy("wid").orderBy(F.desc(u), F.asc("nxt"))
+        if edge_weights is not None:
+            # weighted exponential race (Efraimidis-Spirakis A-Res):
+            # key u^(1/w) — compared via ln(u)/w (same order, no
+            # overflow); w = 1 rows reduce to the uniform race
+            cand = cand.join(
+                edge_weights.select(
+                    F.col("src").alias("_cur"),
+                    F.col("dst").alias("nxt"),
+                    F.col("w").alias("_w"),
+                ),
+                ["_cur", "nxt"],
+                "left",
+            )
+            key = F.log(
+                F.greatest(u, F.lit(1e-12))
+            ) / F.greatest(F.coalesce(F.col("_w"), F.lit(1.0)), F.lit(1e-9))
+            pick_w = Window.partitionBy("wid").orderBy(F.desc(key), F.asc("nxt"))
+        else:
+            pick_w = Window.partitionBy("wid").orderBy(F.desc(u), F.asc("nxt"))
         stepped = (
             cand.withColumn("_rn", F.row_number().over(pick_w))
             .where(F.col("_rn") == 1)
@@ -213,3 +232,109 @@ def sample_rwr(
             "n_nodes": n_visited,
         },
     )
+
+
+def common_neighbor_weights(
+    spark: SparkSession,
+    graph: Graph,
+    max_degree: int = 10_000,
+    floor: float = 0.05,
+) -> DataFrame:
+    """Per-edge CNARW transition weights (src, dst, w):
+
+        w(u, v) = max(1 - |N(u) ∩ N(v)| / min(deg(u), deg(v)), floor)
+
+    — walkers prefer hops with FEW common neighbors, escaping dense
+    clusters faster than plain RWR (CNARW, Li et al. 2019; GDS 2.4
+    `gds.graph.sample.cnarw`). Directed weights: computed on the
+    undirected neighbor sets, emitted for both arc directions.
+
+    Scale: the wedge join is bounded the same way triangle counting
+    is — vertices with undirected degree > ``max_degree`` are
+    excluded as wedge CENTERS (their common-neighbor contribution is
+    skipped, never the edge itself), so hub vertices cannot explode
+    the join; skipped centers only under-count |CN|, which raises w
+    toward 1 — a bias-toward-uniform fallback, logged non-silently.
+    """
+    und = (
+        graph.view()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            graph.view().select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hot = deg.where(F.col("deg") > max_degree).select(F.col("src").alias("id"))
+    n_hot = hot.count()
+    if n_hot:
+        print(
+            f"[cnarw] {n_hot} vertices above max_degree={max_degree} "
+            "excluded as wedge centers (|CN| under-counted toward uniform)"
+        )
+    adj = und.join(hot.withColumnRenamed("id", "dst"), "dst", "left_anti")
+    # wedge: u - w - v where w is a (non-hot) shared neighbor
+    left = adj.select(F.col("src").alias("u"), F.col("dst").alias("wv"))
+    right = adj.select(F.col("src").alias("v"), F.col("dst").alias("wv"))
+    cn = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(left, "u")
+        .join(right, ["v", "wv"], "left_semi")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    d1 = deg.select(F.col("src").alias("u"), F.col("deg").alias("_d1"))
+    d2 = deg.select(F.col("src").alias("v"), F.col("deg").alias("_d2"))
+    out = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(cn, ["u", "v"], "left")
+        .join(d1, "u")
+        .join(d2, "v")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.greatest(
+                F.lit(1.0)
+                - F.coalesce(F.col("cn"), F.lit(0)).cast("double")
+                / F.least("_d1", "_d2").cast("double"),
+                F.lit(float(floor)),
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out
+
+
+def sample_cnarw(
+    spark: SparkSession,
+    graph: Graph,
+    sampling_ratio: float = 0.15,
+    restart_probability: float = 0.1,
+    seed: int = 42,
+    start_nodes: DataFrame | None = None,
+    walkers: int | None = None,
+    max_rounds: int = 1000,
+    max_degree: int = 10_000,
+) -> RwrSampleResult:
+    """Common-neighbor-aware random-walk sampling
+    (`gds.graph.sample.cnarw`, GDS 2.4): the RWR sampler with the
+    next-hop race weighted by ``common_neighbor_weights`` — one extra
+    wedge-join precomputation, then the identical per-round cost."""
+    weights = common_neighbor_weights(spark, graph, max_degree=max_degree)
+    res = sample_rwr(
+        spark, graph,
+        sampling_ratio=sampling_ratio,
+        restart_probability=restart_probability,
+        seed=seed,
+        start_nodes=start_nodes,
+        walkers=walkers,
+        max_rounds=max_rounds,
+        edge_weights=weights,
+    )
+    res.graph.name = f"{graph.name}_cnarw"
+    return res
