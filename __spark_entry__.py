@@ -1967,6 +1967,57 @@ def _q_rwr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 6
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (pipeline.text.bpe_train, Sennrich
+    2016 word-type formulation): 6 merge rounds over the documents
+    corpus. Value-exact: the oracle replays every round in SQL —
+    pair counts, the (count desc, pair asc) argmax, and the greedy
+    left-fold merge application via list_reduce."""
+    from graph_data_science_spark.pipeline.text import bpe_train
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    res = bpe_train(docs, n_merges=BPE_MERGES)
+    return res.merge_table
+
+
+def _bpe_train_sql(n: int) -> str:
+    ctes = [
+        r"t AS MATERIALIZED (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents)",
+        "w AS MATERIALIZED (SELECT unnest(toks) AS word FROM t)",
+        "wc AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word)",
+        "s0 AS MATERIALIZED (SELECT word, cnt, "
+        "[word[i:i] for i in generate_series(1, length(word))] AS syms FROM wc)",
+    ]
+    for r in range(1, n + 1):
+        p = f"s{r - 1}"
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, SUM(cnt) AS n "
+            f"FROM (SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p "
+            f"FROM {p} WHERE len(syms) >= 2) q GROUP BY a, b)"
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT a, b, n FROM p{r} "
+            f"ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if r < n:
+            ctes.append(
+                f"s{r} AS MATERIALIZED (SELECT word, cnt, "
+                f"list_reduce(list_transform(syms, x -> [x]), "
+                f"(acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b "
+                f"THEN acc[1:len(acc)-1] || [b{r}.a || b{r}.b] "
+                f"ELSE acc || x END) AS syms "
+                f"FROM {p} CROSS JOIN b{r})"
+            )
+    union = " UNION ALL ".join(
+        f'SELECT CAST({r} AS INTEGER) AS merge_rank, a AS "left", b AS "right", n FROM b{r}'
+        for r in range(1, n + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def _q_cnarw_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.graph.sample.cnarw analog (common-neighbor-aware walk,
     Li et al. 2019; GDS 2.4): the RWR invariants plus the weight-table
@@ -4206,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_longest_path": _q_dag_longest_path,
         "rwr_sample": _q_rwr_sample,
         "cnarw_sample": _q_cnarw_sample,
+        "bpe_train": _q_bpe_train,
         "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
@@ -6203,6 +6255,7 @@ SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
         "steiner_tree": _steiner_sql(),
         "hashgnn": _hashgnn_sql(),
         "kge_transe": _kge_sql(),
+        "bpe_train": _bpe_train_sql(BPE_MERGES),
         "node_regression": """
 WITH tools AS MATERIALIZED (
   SELECT event_type,

@@ -8,6 +8,8 @@ SQL-expressible so every operator has a DuckDB oracle.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1008,3 +1010,102 @@ def freq_spectrum(
         .groupBy("freq")
         .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
     )
+
+
+@dataclass
+class BpeTrainResult:
+    """Learned merge table + final word-type segmentation."""
+
+    merges: list  # [(left, right, count), ...] in merge order
+    merge_table: DataFrame  # (merge_rank, left, right, n)
+    word_symbols: DataFrame  # (word, cnt, symbols)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> BpeTrainResult:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016),
+    the word-type formulation: ONE corpus-wide pass builds the
+    (word, count) vocabulary table; every merge round then works on
+    word TYPES (each weighted by its corpus count), never re-reading
+    the corpus — the 100-TB pass happens exactly once.
+
+    Per round (all JVM column expressions, no Python in the data
+    path): adjacent-symbol pair counts via slice+zip explode, a
+    TakeOrdered argmax (count desc, pair lexicographic asc — the
+    deterministic tie-break mirrored by the SQL oracle), and the
+    merge applied with a pure `F.aggregate` left-fold that replaces
+    adjacent (left, right) with the fused symbol greedily
+    left-to-right (classic BPE application order). The driver holds
+    only the O(n_merges) merge table.
+
+    Stops early when the best pair's count falls below
+    ``min_pair_count`` (GDS has no BPE; this is pipeline territory —
+    HuggingFace tokenizers' BPE trainer is the behavioral model).
+    """
+    from graph_data_science_spark.util import Truncator, widen_scan
+
+    spark = df.sparkSession
+    words = (
+        widen_scan(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = words.select(
+        "word",
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, F.lit(1)),
+        ).alias("symbols"),
+    )
+    tr = Truncator(spark, every=1)
+    state = tr.cut(state)
+
+    merges: list = []
+    for _ in range(n_merges):
+        sz = F.size("symbols")
+        pairs = (
+            state.where(sz >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("symbols", 1, sz - 1).alias("a"),
+                        F.slice(F.col("symbols"), 2, sz - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        fused = a + b
+        merged = F.aggregate(
+            "symbols",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        state = tr.cut(state.select("word", "cnt", merged.alias("symbols")))
+
+    table = spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)] or [],
+        "merge_rank int, left string, right string, n long",
+    )
+    return BpeTrainResult(merges=merges, merge_table=table, word_symbols=state)

@@ -129,3 +129,71 @@ def test_ccnet_buckets_excludes_short_docs(spark):
 def test_ccnet_buckets_validation(spark):
     with pytest.raises(ValueError):
         text.ccnet_buckets(_docs(spark, ["a b"]), cut_lo=0.7, cut_hi=0.3)
+
+
+# ---- BPE merge training (bpe_train) ----------------------------------------
+
+
+def _ref_bpe(texts, n_merges, min_pair_count=2):
+    """Pure-Python word-type BPE replay (Sennrich 2016)."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t):
+            if w:
+                words[w] += 1
+    state = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in state.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += words[w]
+        if not pc:
+            break
+        # count desc, pair lexicographic asc
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b, n))
+        for w, syms in state.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            state[w] = out
+    return merges, state
+
+
+def test_bpe_train_matches_python_replay(spark):
+    from graph_data_science_spark.pipeline.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wider wide wide low",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    res = bpe_train(df, n_merges=6)
+    want_merges, want_state = _ref_bpe(texts, 6)
+    assert res.merges == want_merges
+    got_state = {
+        r["word"]: list(r["symbols"]) for r in res.word_symbols.collect()
+    }
+    assert got_state == want_state
+    rows = sorted(res.merge_table.collect(), key=lambda r: r["merge_rank"])
+    assert [(r["left"], r["right"], r["n"]) for r in rows] == want_merges
+
+
+def test_bpe_train_early_stop(spark):
+    from graph_data_science_spark.pipeline.text import bpe_train
+
+    df = spark.createDataFrame([("ab cd ef",)], "text string")
+    # every pair occurs once; min_pair_count=2 stops before any merge
+    res = bpe_train(df, n_merges=5, min_pair_count=2)
+    assert res.merges == []
+    assert res.merge_table.count() == 0
