@@ -1970,6 +1970,19 @@ def _q_rwr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 6
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges
+    (pipeline.text.bpe_encode): per-document whitespace-token and
+    post-merge symbol counts. Value-exact: the oracle replays
+    training INCLUDING the final word segmentation and joins it back
+    to the documents."""
+    from graph_data_science_spark.pipeline.text import bpe_encode, bpe_train
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    res = bpe_train(docs, n_merges=BPE_MERGES)
+    return bpe_encode(docs, res)
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (pipeline.text.bpe_train, Sennrich
     2016 word-type formulation): 6 merge rounds over the documents
@@ -1983,7 +1996,7 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.merge_table
 
 
-def _bpe_train_sql(n: int) -> str:
+def _bpe_ctes(n: int, final_state: bool) -> list[str]:
     ctes = [
         r"t AS MATERIALIZED (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents)",
         "w AS MATERIALIZED (SELECT unnest(toks) AS word FROM t)",
@@ -1992,30 +2005,49 @@ def _bpe_train_sql(n: int) -> str:
         "[word[i:i] for i in generate_series(1, length(word))] AS syms FROM wc)",
     ]
     for r in range(1, n + 1):
-        p = f"s{r - 1}"
+        prev = f"s{r - 1}"
         ctes.append(
             f"p{r} AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, SUM(cnt) AS n "
             f"FROM (SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p "
-            f"FROM {p} WHERE len(syms) >= 2) q GROUP BY a, b)"
+            f"FROM {prev} WHERE len(syms) >= 2) q GROUP BY a, b)"
         )
         ctes.append(
             f"b{r} AS MATERIALIZED (SELECT a, b, n FROM p{r} "
             f"ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
         )
-        if r < n:
+        if r < n or final_state:
             ctes.append(
                 f"s{r} AS MATERIALIZED (SELECT word, cnt, "
                 f"list_reduce(list_transform(syms, x -> [x]), "
                 f"(acc, x) -> CASE WHEN acc[-1] = b{r}.a AND x[1] = b{r}.b "
                 f"THEN acc[1:len(acc)-1] || [b{r}.a || b{r}.b] "
                 f"ELSE acc || x END) AS syms "
-                f"FROM {p} CROSS JOIN b{r})"
+                f"FROM {prev} CROSS JOIN b{r})"
             )
+    return ctes
+
+
+def _bpe_train_sql(n: int) -> str:
     union = " UNION ALL ".join(
         f'SELECT CAST({r} AS INTEGER) AS merge_rank, a AS "left", b AS "right", n FROM b{r}'
         for r in range(1, n + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_ctes(n, False)) + "\n" + union
+
+
+def _bpe_encode_sql(n: int) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(n, True))
+        + f"""
+SELECT d.doc_id AS id, COUNT(*) AS n_tokens,
+       SUM(len(s.syms)) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+      FROM documents) d
+JOIN s{n} s USING (word)
+GROUP BY d.doc_id
+"""
+    )
 
 
 def _q_cnarw_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4258,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rwr_sample": _q_rwr_sample,
         "cnarw_sample": _q_cnarw_sample,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
@@ -6256,6 +6289,7 @@ SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
         "hashgnn": _hashgnn_sql(),
         "kge_transe": _kge_sql(),
         "bpe_train": _bpe_train_sql(BPE_MERGES),
+        "bpe_encode": _bpe_encode_sql(BPE_MERGES),
         "node_regression": """
 WITH tools AS MATERIALIZED (
   SELECT event_type,

@@ -1109,3 +1109,39 @@ def bpe_train(
         "merge_rank int, left string, right string, n long",
     )
     return BpeTrainResult(merges=merges, merge_table=table, word_symbols=state)
+
+
+def bpe_encode(
+    df: DataFrame,
+    trained: BpeTrainResult,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, n_bpe_tokens) — tokenize with the learned merge
+    table by joining each document's words against the word-type
+    segmentation ``bpe_train`` already produced (the corpus was the
+    training corpus, so every word type is present — the classic
+    train-then-encode-the-training-set pass of tokenizer pipelines).
+    n_tokens = whitespace words, n_bpe_tokens = post-merge symbols.
+
+    Scale: one explode + one hash join keyed by word type + one
+    per-document sum — no re-derivation of merges, no per-row
+    Python. Out-of-vocabulary words (when encoding a DIFFERENT
+    corpus) fall back to character count, the merge-free
+    segmentation."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    seg = trained.word_symbols.select(
+        "word", F.size("symbols").alias("_n_sym")
+    )
+    return (
+        words.join(seg, "word", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("_n_sym"), F.length("word"))
+            ).alias("n_bpe_tokens"),
+        )
+    )

@@ -197,3 +197,23 @@ def test_bpe_train_early_stop(spark):
     res = bpe_train(df, n_merges=5, min_pair_count=2)
     assert res.merges == []
     assert res.merge_table.count() == 0
+
+
+def test_bpe_encode_counts(spark):
+    from graph_data_science_spark.pipeline.text import bpe_encode, bpe_train
+
+    texts = ["low lower low", "newest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    res = bpe_train(df, n_merges=4)
+    _, state = _ref_bpe(texts, 4)
+    got = {
+        r["id"]: (r["n_tokens"], r["n_bpe_tokens"])
+        for r in bpe_encode(df, res).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        want[i] = (len(ws), sum(len(state[w]) for w in ws))
+    assert got == want
