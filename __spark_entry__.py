@@ -1967,6 +1967,70 @@ def _q_rwr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HDBSCAN_EPS = 1.19
+HDBSCAN_K = 4
+HDBSCAN_MIN = 5
+
+
+def _q_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN / DBSCAN* epsilon cut (algorithms.hdbscan, GDS 2.5
+    gds.hdbscan analog) over the embeddings table. Value-exact: the
+    oracle recomputes euclidean kNN, core distances, the epsilon
+    mutual-reachability graph, and min-label components via a
+    recursive transitive-closure CTE."""
+    from graph_data_science_spark.algorithms.hdbscan import hdbscan
+
+    emb = ev.load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    res = hdbscan(
+        spark, emb, epsilon=HDBSCAN_EPS, k=HDBSCAN_K,
+        min_cluster_size=HDBSCAN_MIN,
+    )
+    return res.clusters.select("id", "cluster")
+
+
+def _hdbscan_sql() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS u, b.vec_id AS nbr,
+         ROUND(SQRT(list_dot_product(
+           list_transform(list_zip(a.v, b.v), z -> z[1] - z[2]),
+           list_transform(list_zip(a.v, b.v), z -> z[1] - z[2]))), 9) AS d
+  FROM e a, e b WHERE a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT u, nbr, d FROM (
+    SELECT u, nbr, d, ROW_NUMBER() OVER (PARTITION BY u ORDER BY d ASC, nbr ASC) AS rn
+    FROM p
+  ) x WHERE rn <= {HDBSCAN_K}
+),
+core AS (SELECT u, MAX(d) AS cd FROM knn GROUP BY u),
+mr AS (
+  SELECT k.u, k.nbr, GREATEST(k.d, c1.cd, c2.cd) AS mreach
+  FROM knn k JOIN core c1 ON c1.u = k.u JOIN core c2 ON c2.u = k.nbr
+),
+eund AS (
+  SELECT u AS src, nbr AS dst FROM mr WHERE mreach <= {HDBSCAN_EPS}
+  UNION
+  SELECT nbr, u FROM mr WHERE mreach <= {HDBSCAN_EPS}
+),
+r AS (
+  SELECT vec_id AS id, vec_id AS root FROM e
+  UNION
+  SELECT ed.dst AS id, r.root FROM r JOIN eund ed ON ed.src = r.id
+),
+comp AS (SELECT id, MIN(root) AS component FROM r GROUP BY id),
+sz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY component)
+SELECT c.id,
+       CASE WHEN s.n >= {HDBSCAN_MIN} THEN c.component ELSE -1 END AS cluster
+FROM comp c JOIN sz s USING (component)
+"""
+
+
 BPE_MERGES = 6
 
 
@@ -4290,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rwr_sample": _q_rwr_sample,
         "cnarw_sample": _q_cnarw_sample,
         "bpe_train": _q_bpe_train,
+        "hdbscan": _q_hdbscan,
         "bpe_encode": _q_bpe_encode,
         "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
@@ -6289,6 +6354,7 @@ SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
         "hashgnn": _hashgnn_sql(),
         "kge_transe": _kge_sql(),
         "bpe_train": _bpe_train_sql(BPE_MERGES),
+        "hdbscan": _hdbscan_sql(),
         "bpe_encode": _bpe_encode_sql(BPE_MERGES),
         "node_regression": """
 WITH tools AS MATERIALIZED (
