@@ -1967,6 +1967,75 @@ def _q_rwr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_WINDOW_DAYS = 7
+
+
+def _q_pagerank_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed PageRank: the link graph AS OF the first
+    PR_WINDOW_DAYS days of the event stream (turns, tools, and
+    edges all re-derived inside the window — the temporal-slice
+    projection a transcript pipeline replays per day). Value-exact
+    against the unrolled fixpoint over the windowed prelude."""
+    import datetime
+
+    evd = ev.load_table(spark, sf_dir, "events")
+    lo = evd.agg(F.min("ts").alias("m")).collect()[0]["m"]
+    hi = lo + datetime.timedelta(days=PR_WINDOW_DAYS)
+    w = evd.where(F.col("ts") < F.lit(hi))
+    g = Graph(name="pr_windowed", edges=ev.events_edges(w))
+    res = pagerank(
+        spark, g, PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    )
+    return res.state.select("id", F.round("score", 6).alias("score"))
+
+
+def _pagerank_windowed_sql() -> str:
+    win = f"""
+wevents AS MATERIALIZED (
+  SELECT * FROM events
+  WHERE ts < (SELECT MIN(ts) + INTERVAL {PR_WINDOW_DAYS} DAY FROM events)
+),
+wturns AS MATERIALIZED (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx
+  FROM wevents
+),
+wtools AS MATERIALIZED (
+  SELECT event_type,
+         -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS tool_vid
+  FROM (SELECT DISTINCT event_type FROM wevents) d
+),
+wtv AS MATERIALIZED (
+  SELECT t.user_id * 1000000 + t.turn_idx AS vid, t.user_id, t.turn_idx, tl.tool_vid
+  FROM wturns t JOIN wtools tl USING (event_type)
+),
+wreply AS MATERIALIZED (
+  SELECT vid AS src,
+         lead(vid) OVER (PARTITION BY user_id ORDER BY turn_idx) AS dst
+  FROM wtv
+  QUALIFY dst IS NOT NULL
+),
+wedges AS MATERIALIZED (
+  SELECT src, dst FROM wreply
+  UNION ALL SELECT vid AS src, tool_vid AS dst FROM wtv
+),
+wverts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM wedges UNION ALL SELECT dst AS id FROM wedges
+  ) u
+),
+wdeg AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS degree FROM wedges GROUP BY src
+)"""
+    return _pagerank_sql(
+        PR_ITERS,
+        edges="wedges",
+        verts="wverts",
+        deg="wdeg",
+        extra_ctes=[win.strip()],
+    )
+
+
 HDBSCAN_EPS = 1.19
 HDBSCAN_K = 4
 HDBSCAN_MIN = 5
@@ -4355,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cnarw_sample": _q_cnarw_sample,
         "bpe_train": _q_bpe_train,
         "hdbscan": _q_hdbscan,
+        "pagerank_windowed": _q_pagerank_windowed,
         "bpe_encode": _q_bpe_encode,
         "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
@@ -6355,6 +6425,7 @@ SELECT id, CAST(dist AS DOUBLE) AS distance FROM d{BFS_LEVELS + 2}
         "kge_transe": _kge_sql(),
         "bpe_train": _bpe_train_sql(BPE_MERGES),
         "hdbscan": _hdbscan_sql(),
+        "pagerank_windowed": _pagerank_windowed_sql(),
         "bpe_encode": _bpe_encode_sql(BPE_MERGES),
         "node_regression": """
 WITH tools AS MATERIALIZED (
