@@ -433,3 +433,67 @@ class GdsEngine:
         from graph_data_science_spark.mlpipeline import LinkPredictionPipeline
 
         return LinkPredictionPipeline()
+
+    def node_regression_pipeline(self):
+        """gds.alpha.pipeline.nodeRegression factory."""
+        from graph_data_science_spark.mlpipeline.pipelines import (
+            NodeRegressionPipeline,
+        )
+
+        return NodeRegressionPipeline()
+
+    # -- path / structure procs (session additions) ------------------------
+    def bellman_ford(self, graph: Graph, source: int, **cfg) -> ProcResult:
+        """gds.bellmanFord analog: negative weights allowed,
+        reachable negative cycles flagged."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.paths import bellman_ford
+
+        return self._proc(
+            graph,
+            lambda: (bellman_ford(self.spark, graph, source, **cfg), {}),
+            "distance",
+        )
+
+    def steiner_tree(self, graph: Graph, source: int, terminals, **cfg) -> ProcResult:
+        """gds.steinerTree analog (shortest-path heuristic)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.steiner import steiner_tree
+
+        def run():
+            res = steiner_tree(self.spark, graph, source, terminals, **cfg)
+            return res.edges, {
+                "total_weight": res.total_weight,
+                "reached_terminals": res.reached_terminals,
+            }
+
+        return self._proc(graph, run, "weight")
+
+    def bridges(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.bridges analog (distributed Tarjan-Vishkin)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.biconnectivity import bridges
+
+        return self._proc(
+            graph, lambda: (bridges(self.spark, graph, **cfg), {}), "dst"
+        )
+
+    def articulation_points(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.articulationPoints analog."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.biconnectivity import (
+            articulation_points,
+        )
+
+        return self._proc(
+            graph, lambda: (articulation_points(self.spark, graph, **cfg), {}), "id"
+        )
+
+    def hashgnn(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.hashgnn analog (binary min-hash embeddings)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.hashgnn import hashgnn_dense
+
+        return self._proc(
+            graph, lambda: (hashgnn_dense(self.spark, graph, **cfg), {}), "embedding"
+        )

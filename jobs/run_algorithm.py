@@ -43,6 +43,7 @@ ALGORITHMS = (
     "harmonic_centrality", "node_similarity", "fastrp", "graphsage",
     "betweenness", "sllpa", "all_shortest_paths",
     "neighborhood_function", "effective_diameter",
+    "bridges", "articulation_points", "hashgnn",
 )
 
 

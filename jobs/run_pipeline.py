@@ -323,6 +323,43 @@ def _op_categorical_similarity(spark, df, cfg):
     )
 
 
+def _op_bpe_train(spark, df, cfg):
+    from graph_data_science_spark.pipeline.text import bpe_train
+
+    return bpe_train(df, **cfg).merge_table
+
+
+def _op_bpe_encode(spark, df, cfg):
+    from graph_data_science_spark.pipeline.text import bpe_encode, bpe_train
+
+    n_merges = cfg.pop("n_merges", 8)
+    trained = bpe_train(df, n_merges=n_merges, **{
+        k: v for k, v in cfg.items() if k in ("text_col", "min_pair_count")
+    })
+    return bpe_encode(
+        df, trained,
+        text_col=cfg.get("text_col", "text"),
+        id_col=cfg.get("id_col", "doc_id"),
+    )
+
+
+def _op_hdbscan(spark, df, cfg):
+    from graph_data_science_spark.algorithms.hdbscan import hdbscan
+
+    cfg.setdefault("id_col", "vec_id")
+    return hdbscan(spark, df, **cfg).clusters
+
+
+def _op_kge_score(spark, df, cfg):
+    """df = node embeddings; cfg['edges'] = parquet path/table of
+    (src, dst) pairs to score."""
+    from graph_data_science_spark.pipeline.kge import kge_score
+
+    edges = _read(spark, cfg.pop("edges"))
+    cfg.setdefault("id_col", "vec_id")
+    return kge_score(df, edges, **cfg)
+
+
 OPERATORS = {
     "exact_dedup": _op_exact_dedup,
     "minhash_lsh": _op_minhash_lsh,
@@ -366,6 +403,10 @@ OPERATORS = {
     "hard_negatives": _op_hard_negatives,
     "knn_label_agreement": _op_knn_label_agreement,
     "categorical_similarity": _op_categorical_similarity,
+    "bpe_train": _op_bpe_train,
+    "bpe_encode": _op_bpe_encode,
+    "hdbscan": _op_hdbscan,
+    "kge_score": _op_kge_score,
 }
 
 
