@@ -87,8 +87,9 @@ def _assemble_features(df: DataFrame, feature_cols: list[str], out: str = "featu
     return df.withColumn(out, array_to_vector(F.flatten(F.array(*parts))))
 
 
-def _drop_training_summary(model) -> None:
-    """Strip the MLlib training summary right after fit.
+def _drop_training_summary(model):
+    """Strip the MLlib training summary right after fit; RETURNS the
+    model to keep using (possibly a reloaded replacement).
 
     LogisticRegressionModel.trainingSummary holds the fitting
     SparkSession; in Spark 4.1 the session's lazily-initialized
@@ -97,8 +98,14 @@ def _drop_training_summary(model) -> None:
     do), every task that serializes the model's transform closure dies
     with NotSerializableException: ObservationManager. The summary is
     never used here. setSummary is private[ml] in Scala — public in
-    bytecode — with a documented save/load fallback (summaries are not
-    persisted) if the internal name ever changes.
+    bytecode — with a save/load fallback (summaries are not persisted)
+    for model classes without it (e.g. RandomForest).
+
+    The fallback must return the LOADED wrapper itself, never graft
+    its `_java_obj` onto the old wrapper: py4j detaches a JVM object
+    from the gateway when its Python wrapper is garbage-collected, so
+    a stolen reference dies at the temporary's first GC — the symptom
+    is a later "Target Object ID does not exist" on transform.
     """
     try:
         from pyspark import SparkContext
@@ -106,7 +113,8 @@ def _drop_training_summary(model) -> None:
         jvm = SparkContext._active_spark_context._jvm
         none_opt = getattr(getattr(jvm.scala, "None$"), "MODULE$")
         model._java_obj.setSummary(none_opt)
-    except Exception:  # pragma: no cover - fallback for API drift
+        return model
+    except Exception:  # fallback for models without setSummary
         import shutil
         import tempfile
         import uuid
@@ -114,9 +122,14 @@ def _drop_training_summary(model) -> None:
         path = os.path.join(
             tempfile.gettempdir(), f"gds_lrm_{uuid.uuid4().hex}"
         )
-        model.write().overwrite().save(path)
-        model._java_obj = type(model).load(path)._java_obj
-        shutil.rmtree(path, ignore_errors=True)
+        try:
+            model.write().overwrite().save(path)
+            loaded = type(model).load(path)
+            return loaded
+        except Exception:  # pragma: no cover - API drift double-fault
+            return model
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def _confusion(pred: DataFrame, label_col: str = "label") -> list[tuple[float, float, int]]:
@@ -238,8 +251,7 @@ class NodeClassificationPipeline:
                 maxDepth=int(params.get("max_depth", 5)),
                 seed=int(params.get("seed", 42)),
             ).fit(train)
-            _drop_training_summary(m)
-            return m
+            return _drop_training_summary(m)
         from pyspark.ml.classification import LogisticRegression
 
         m = LogisticRegression(
@@ -251,8 +263,7 @@ class NodeClassificationPipeline:
             family="multinomial",
             standardization=True,
         ).fit(train)
-        _drop_training_summary(m)
-        return m
+        return _drop_training_summary(m)
 
     def train(
         self,
@@ -520,7 +531,7 @@ class LinkPredictionPipeline:
                 featuresCol="features", labelCol="label",
                 regParam=penalty, maxIter=max_iterations, standardization=True,
             ).fit(tr)
-            _drop_training_summary(lr)
+            lr = _drop_training_summary(lr)
 
             from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
@@ -636,8 +647,7 @@ class NodeRegressionPipeline:
                 tol=float(params.get("tolerance", 1e-6)),
                 standardization=True,
             ).fit(train)
-        _drop_training_summary(m)
-        return m
+        return _drop_training_summary(m)
 
     def train(
         self,
