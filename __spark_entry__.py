@@ -6458,8 +6458,12 @@ pairs AS (
 )
 SELECT node1, node2, ROUND(cos, 6) AS similarity, CAST(rank AS INTEGER) AS rank
 FROM (
+  -- rank on the ROUNDED cosine (then node2) to mirror the engine,
+  -- which rounds to 6dp BEFORE row_number (knn.py score_topk);
+  -- ranking on the raw cosine can diverge on <1e-6 cosine ties
   SELECT node1, node2, cos,
-         ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY cos DESC, node2 ASC) AS rank
+         ROW_NUMBER() OVER (PARTITION BY node1
+                            ORDER BY ROUND(cos, 6) DESC, node2 ASC) AS rank
   FROM pairs
 ) x WHERE rank <= 5
 """,

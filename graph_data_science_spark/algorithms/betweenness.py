@@ -71,10 +71,22 @@ def betweenness(
     sampling_seed: int = 42,
     directed: bool = True,
     all_pairs: bool = False,
+    strategy: str = "random",
 ) -> DataFrame:
-    """(id, score) — exact when all sources run, else the RANDOM
-    sampled estimate scaled by n/samples. Above AUTO_SAMPLE_THRESHOLD
-    vertices the sweep auto-samples unless ``all_pairs=True``."""
+    """(id, score) — exact when all sources run, else the sampled
+    estimate scaled by n/samples. Above AUTO_SAMPLE_THRESHOLD
+    vertices the sweep auto-samples unless ``all_pairs=True``.
+
+    ``strategy`` mirrors the reference's SelectionStrategy
+    (/root/reference/algo/src/main/java/org/neo4j/gds/betweenness/
+    SelectionStrategy.java): ``"random"`` = uniform source sample;
+    ``"random_degree"`` (SelectionStrategy.java:107-181) = each node
+    accepted with probability degree/maxDegree (hub sources carry
+    more shortest-path mass, so degree-biased sources cut estimator
+    variance on skewed graphs), topped up with uniform draws when
+    rejection leaves the sample short — realized here as one
+    deterministic sort on (accepted DESC, hash): accepted nodes
+    first, hash-ordered top-up after, ``LIMIT samplingSize``."""
     edges = graph.view().select("src", "dst").dropDuplicates(["src", "dst"])
     if not directed:
         edges = projection.orient(edges, "UNDIRECTED").dropDuplicates(["src", "dst"])
@@ -84,13 +96,32 @@ def betweenness(
 
     sampling_size = auto_sample_size(n, sampling_size, all_pairs, "betweenness")
     if sampling_size is not None and sampling_size < n:
-        # deterministic sample: smallest hash values win
-        sources = (
-            verts.withColumn("_h", F.xxhash64("id", F.lit(sampling_seed)))
-            .orderBy("_h")
-            .limit(sampling_size)
-            .select("id")
-        )
+        hashed = verts.withColumn("_h", F.xxhash64("id", F.lit(sampling_seed)))
+        if strategy == "random_degree":
+            deg = edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("_deg")
+            )
+            cand = hashed.join(deg, "id", "left").withColumn(
+                "_deg", F.coalesce(F.col("_deg"), F.lit(0))
+            )
+            max_deg = cand.agg(F.max("_deg")).first()[0] or 1
+            # uniform in [0,1) from the id hash; accept iff
+            # u < degree/maxDegree — the reference's
+            # probabilityFactor <= nodeDegree draw
+            u = (F.pmod(F.col("_h"), F.lit(1 << 20)) + 0.5) / float(1 << 20)
+            cand = cand.withColumn(
+                "_acc", (u * float(max_deg) < F.col("_deg")).cast("int")
+            )
+            sources = (
+                cand.orderBy(F.desc("_acc"), F.asc("_h"))
+                .limit(sampling_size)
+                .select("id")
+            )
+        elif strategy == "random":
+            # deterministic uniform sample: smallest hash values win
+            sources = hashed.orderBy("_h").limit(sampling_size).select("id")
+        else:
+            raise ValueError(f"unknown sampling strategy: {strategy!r}")
         scale = n / sampling_size
     else:
         sources = verts

@@ -127,80 +127,77 @@ def euler_tour(
     )
     ring = tr.cut(ring)
 
-    # --- ring leader election: min-label pointer doubling ---
+    # --- FUSED leader election + list ranking: one doubling loop ---
+    # invariant after round i (window size w = 2^(i+1)): succ points
+    # w arcs ahead; mlab = min arc id over the w arcs starting at
+    # self; moff = forward distance to that min's FIRST occurrence.
+    # Once w >= ring length the min is the ring leader and moff its
+    # distance, giving tour position directly — the separate
+    # cut-and-Wyllie-rank loop (another `rounds` joins) disappears.
     rounds = _doubling_rounds(n_arcs)
-    cur = ring
+    cur = ring.withColumn("moff", F.lit(0).cast("long"))
+    last_cut = cur
+    step = 1
     for i in range(rounds):
         part = cur.select(
             F.col("aid").alias("_pa"),
             F.col("succ").alias("_ps"),
             F.col("mlab").alias("_pm"),
+            F.col("moff").alias("_po"),
         )
-        cur = (
-            cur.join(part, cur.succ == part._pa, "left")
-            .select(
-                "src",
-                "dst",
-                "aid",
-                F.col("_ps").alias("succ"),
-                F.least(F.col("mlab"), F.coalesce(F.col("_pm"), F.col("mlab"))).alias(
-                    "mlab"
-                ),
-            )
-        )
-        if i % 2 == 1 or i == rounds - 1:
-            cur = tr.cut(cur)
-
-    # --- cut each ring before its leader, then Wyllie ranking ---
-    # re-derive the original successor (doubling collapsed it)
-    lab = cur.select(F.col("aid").alias("_la"), F.col("mlab").alias("_lm"))
-    lst = (
-        ring.join(lab, ring.aid == F.col("_la"))
-        .select(
+        # strict < : on window overlap (w > ring length) both halves
+        # hold the same min and the EARLIER offset must win
+        take = F.col("_pm").isNotNull() & (F.col("_pm") < F.col("mlab"))
+        cur = cur.join(part, cur.succ == part._pa, "left").select(
             "src",
             "dst",
             "aid",
-            F.when(F.col("succ") == F.col("_lm"), F.lit(None).cast("long"))
-            .otherwise(F.col("succ"))
-            .alias("succ"),
-            F.col("_lm").alias("mlab"),
-            F.lit(1).cast("long").alias("srank"),
+            F.col("_ps").alias("succ"),
+            F.when(take, F.col("_pm")).otherwise(F.col("mlab")).alias("mlab"),
+            F.when(take, F.lit(step) + F.col("_po"))
+            .otherwise(F.col("moff"))
+            .alias("moff"),
         )
-    )
-    lst = tr.cut(lst)
-    for i in range(rounds):
-        part = lst.select(
-            F.col("aid").alias("_pa"),
-            F.col("succ").alias("_ps"),
-            F.col("srank").alias("_pr"),
-        )
-        lst = (
-            lst.join(part, lst.succ == part._pa, "left")
-            .select(
-                "src",
-                "dst",
-                "aid",
-                F.col("_ps").alias("succ"),
-                "mlab",
-                (F.col("srank") + F.coalesce(F.col("_pr"), F.lit(0))).alias("srank"),
-            )
-        )
+        step *= 2
         if i % 2 == 1 or i == rounds - 1:
-            lst = tr.cut(lst)
+            cur = tr.cut(cur)
+            # adaptive stop: `rounds` is sized for one giant ring
+            # (log2 of the GLOBAL arc count), but real forests are
+            # many small rings — once two rounds change no mlab,
+            # every window already holds its ring minimum and all
+            # later rounds are no-ops. The check is one tiny join
+            # between the two latest truncated frames, far cheaper
+            # than the 2 saved self-joins per skipped round.
+            if i < rounds - 1:
+                still = (
+                    cur.select("aid", "mlab")
+                    .join(
+                        last_cut.select("aid", F.col("mlab").alias("_prevm")),
+                        "aid",
+                    )
+                    .where(F.col("mlab") != F.col("_prevm"))
+                    .limit(1)
+                    .count()
+                )
+                if still == 0:
+                    break
+            last_cut = cur
 
-    ringlen = (
-        lst.where(F.col("aid") == F.col("mlab"))
-        .select(F.col("mlab").alias("_rm"), F.col("srank").alias("_rlen"),
-                F.col("src").alias("_root"))
+    ringlen = cur.groupBy("mlab").agg(F.count(F.lit(1)).alias("_rlen"))
+    leader = cur.where(F.col("moff") == 0).select(
+        F.col("mlab").alias("_lm"), F.col("src").alias("_root")
     )
+    # leader at pos 1; an arc moff steps before the leader sits at
+    # pos L - moff + 1 (pmod folds the leader's own moff = 0 case)
     pos = (
-        lst.join(ringlen, lst.mlab == F.col("_rm"))
+        cur.join(ringlen, "mlab")
+        .join(leader, cur.mlab == F.col("_lm"))
         .select(
             "src",
             "dst",
             "mlab",
             F.col("_root").alias("root"),
-            (F.col("_rlen") - F.col("srank") + 1).alias("pos"),
+            (F.pmod(F.col("_rlen") - F.col("moff"), F.col("_rlen")) + 1).alias("pos"),
             F.col("_rlen").alias("rlen"),
         )
     )

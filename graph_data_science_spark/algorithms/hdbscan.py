@@ -54,7 +54,17 @@ def hdbscan(
     vec_col: str = "embedding",
     k: int = 5,
     min_cluster_size: int = 5,
+    candidates: DataFrame | None = None,
 ) -> HdbscanResult:
+    """See module docstring.
+
+    ``candidates``: optional (u, nbr) pair frame restricting the
+    k-NN search — the 100-TB path.  Wire ``pipeline.ann.lsh_topk``
+    (or ivf_topk / any blocked generator) output through it so the
+    plan contains no crossJoin; pairs are symmetrized and deduped
+    here, distances recomputed exactly.  Default (None) is the exact
+    all-pairs baseline, fine up to ~10^5 vectors per run.
+    """
     from graph_data_science_spark.algorithms.wcc import wcc
 
     v = nodes.select(
@@ -64,14 +74,24 @@ def hdbscan(
 
     a = v.select(F.col("id").alias("u"), F.col("vec").alias("_va"))
     b = v.select(F.col("id").alias("nbr"), F.col("vec").alias("_vb"))
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("u") != F.col("nbr"))
-        .select(
-            "u",
-            "nbr",
-            F.round(euclidean_distance(F.col("_va"), F.col("_vb")), 9).alias("d"),
+    if candidates is None:
+        cand = a.crossJoin(b).where(F.col("u") != F.col("nbr"))
+    else:
+        sym = candidates.select("u", "nbr").unionByName(
+            candidates.select(
+                F.col("nbr").alias("u"), F.col("u").alias("nbr")
+            )
         )
+        cand = (
+            sym.where(F.col("u") != F.col("nbr"))
+            .dropDuplicates(["u", "nbr"])
+            .join(a, "u")
+            .join(b, "nbr")
+        )
+    pairs = cand.select(
+        "u",
+        "nbr",
+        F.round(euclidean_distance(F.col("_va"), F.col("_vb")), 9).alias("d"),
     )
     win = Window.partitionBy("u").orderBy(F.asc("d"), F.asc("nbr"))
     knn = (

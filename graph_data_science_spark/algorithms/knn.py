@@ -312,6 +312,12 @@ def filtered_knn(
     from graph_data_science_spark.util import Truncator, global_rank
 
     n_t = targets.count()
+    if n_t == 0:
+        # pmod-by-zero below would yield nulls and silently feed an
+        # empty frame through the descent — fail loudly instead
+        sources.unpersist()
+        targets.unpersist()
+        raise ValueError("filtered_knn: target filter matches no nodes")
     indexed = global_rank(
         targets.select("id").withColumn("_h", F.xxhash64("id", F.lit(seed))),
         ["_h"],
@@ -375,6 +381,10 @@ def filtered_knn(
         current = new
         if changed == 0:
             break
+    # detach the result from the Truncator scratch dir before
+    # removing it (same pattern as knn())
+    out = current.localCheckpoint(eager=True)
+    tr.close()
     sources.unpersist()
     targets.unpersist()
-    return current
+    return out

@@ -48,10 +48,30 @@ def _relax(frontier: DataFrame, edges: DataFrame) -> DataFrame:
 
 def _improved(state: DataFrame, best: DataFrame) -> DataFrame:
     """Relaxation candidates that beat the current tentative
-    distance (full outer join so brand-new vertices qualify)."""
+    (distance, predecessor) LEXICOGRAPHICALLY (full outer join so
+    brand-new vertices qualify).
+
+    Accepting equal-distance smaller-predecessor updates makes the
+    fixpoint the lexicographic min over optimal predecessors —
+    round-order- and parallelism-independent, so SQL oracles can
+    replay the tie-break deterministically.  Predecessor-only
+    updates never cascade (a vertex's offered candidates depend on
+    its distance, not its predecessor), so convergence cost is
+    unchanged and the Bellman-Ford |V|-round negative-cycle guard
+    stays sound.
+    """
     return (
         state.join(best, "id", "full")
-        .where(F.col("distance").isNull() | (F.col("_nd") < F.col("distance")))
+        .where(
+            F.col("distance").isNull()
+            | (F.col("_nd") < F.col("distance"))
+            | (
+                # NULL predecessor marks the source itself — never
+                # replaced at equal distance
+                (F.col("_nd") == F.col("distance"))
+                & (F.col("_pred") < F.col("predecessor"))
+            )
+        )
         .select(
             "id",
             F.col("_nd").alias("distance"),

@@ -68,6 +68,11 @@ def _retry_py4j(fn, attempts: int = 3):
         try:
             return fn()
         except Py4JError as exc:  # pragma: no cover - timing-dependent
+            # only the object-GC race is retryable; a deterministic
+            # trainer failure (Py4JJavaError with a real Java stack)
+            # must surface immediately, not rerun the fit 3x
+            if "Target Object ID does not exist" not in str(exc):
+                raise
             last = exc
             gc.collect()
     raise last

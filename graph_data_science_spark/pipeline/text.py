@@ -1108,6 +1108,10 @@ def bpe_train(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)] or [],
         "merge_rank int, left string, right string, n long",
     )
+    # detach word_symbols from the Truncator scratch dir before
+    # removing it, so the returned DF outlives the temp parquet
+    state = state.localCheckpoint(eager=True)
+    tr.close()
     return BpeTrainResult(merges=merges, merge_table=table, word_symbols=state)
 
 

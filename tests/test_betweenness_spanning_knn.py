@@ -82,3 +82,38 @@ def test_knn_finds_true_neighbors(spark):
     # deterministic
     again = knn(spark, nodes, top_k=2, max_iterations=10)
     assert res.exceptAll(again).count() == 0
+
+
+def test_betweenness_random_degree_prefers_hubs(spark):
+    """SelectionStrategy.java:107-181 analog: degree-proportional
+    acceptance puts hub sources in the sample, so on a hub-and-spoke
+    graph the degree-biased estimate recovers the hub's dominance
+    that a like-sized uniform sample may miss entirely."""
+    # hub 0 with 30 spokes, plus a 5-chain hanging off spoke 1
+    edges = [(0, i) for i in range(1, 31)] + [
+        (30 + i, 31 + i) for i in range(0, 5)
+    ]
+    g = Graph(name="bc_rd", edges=edge_df(spark, edges))
+    exact = {
+        r["id"]: r["score"]
+        for r in betweenness(spark, g, directed=False).collect()
+    }
+    est = {
+        r["id"]: r["score"]
+        for r in betweenness(
+            spark, g, directed=False, sampling_size=3, sampling_seed=7,
+            strategy="random_degree",
+        ).collect()
+    }
+    # hub is max-degree -> accept probability 1 -> always sampled;
+    # its estimated score must identify it as the top vertex
+    assert max(est, key=est.get) == 0
+    assert max(exact, key=exact.get) == 0
+    # scaled estimate lands within 2x of exact on the hub
+    assert est[0] == pytest.approx(exact[0], rel=1.0)
+
+
+def test_betweenness_unknown_strategy_raises(spark):
+    g = Graph(name="bc_bad", edges=edge_df(spark, [(0, 1), (1, 2)]))
+    with pytest.raises(ValueError, match="strategy"):
+        betweenness(spark, g, sampling_size=1, strategy="degree^2")

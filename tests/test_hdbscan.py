@@ -57,3 +57,46 @@ def test_epsilon_controls_merging(spark):
     loose = hdbscan(spark, df, epsilon=20.0, k=3, min_cluster_size=2)
     assert tight.n_clusters == 2
     assert loose.n_clusters == 1
+
+
+def _grid_blobs(spark, n_per=12, dim=4):
+    # three well-separated blobs along distinct axes (so euclidean
+    # AND cosine neighborhoods agree — lsh_topk hashes direction)
+    rows = []
+    for b in range(3):
+        for i in range(n_per):
+            vec = [
+                (10.0 if j == b else 0.0) + 0.01 * ((i * 7 + j * 3) % 5)
+                for j in range(dim)
+            ]
+            rows.append((b * 100 + i, vec))
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_candidates_hook_matches_exact_without_crossjoin(spark, monkeypatch):
+    """100-TB path: lsh_topk candidate pairs feed the kNN — same
+    clusters as the exact all-pairs baseline, and crossJoin is
+    never called (monkeypatch-asserted, stronger than plan grep)."""
+    from graph_data_science_spark.pipeline import ann
+    from pyspark.sql import DataFrame, functions as F
+
+    df = _grid_blobs(spark)
+    exact = hdbscan(spark, df, epsilon=1.0, k=3, min_cluster_size=4)
+
+    cand = ann.lsh_topk(
+        df, df, dim=4, k=12, n_planes=4, n_tables=2,
+        id_col="id", vec_col="embedding",
+    ).select(F.col("query_id").alias("u"), F.col("neighbor_id").alias("nbr"))
+    cand = cand.localCheckpoint(eager=True)
+
+    def _no_crossjoin(self, other):
+        raise AssertionError("crossJoin used on the candidates path")
+
+    monkeypatch.setattr(DataFrame, "crossJoin", _no_crossjoin)
+    approx = hdbscan(
+        spark, df, epsilon=1.0, k=3, min_cluster_size=4, candidates=cand
+    )
+    got_e = sorted((r["id"], r["cluster"]) for r in exact.clusters.collect())
+    got_a = sorted((r["id"], r["cluster"]) for r in approx.clusters.collect())
+    assert got_a == got_e
+    assert approx.n_clusters == 3
