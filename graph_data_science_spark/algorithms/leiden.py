@@ -72,10 +72,21 @@ class LeidenConfig:
     tolerance: float = 1e-4
     gamma: float = 1.0  # resolution
     consecutive_ids: bool = False
+    #: Traag et al.'s refinement randomness theta: 0 (default) keeps
+    #: the deterministic greedy singleton merge (oracle parity);
+    #: theta > 0 enables the paper's randomized merge — movers must
+    #: be well-connected to their community, targets well-connected
+    #: within it, and the target is drawn with probability
+    #: proportional to exp(gain / theta) over the non-negative-gain
+    #: candidates, using a seeded hash draw (run-to-run stable)
+    theta: float = 0.0
+    seed: int = 42
 
     def __post_init__(self) -> None:
         if self.gamma <= 0:
             raise ValueError("gamma must be > 0")
+        if self.theta < 0:
+            raise ValueError("theta must be >= 0")
         if self.max_levels < 1 or self.max_iterations < 1:
             raise ValueError("max_levels and max_iterations must be >= 1")
 
@@ -94,6 +105,8 @@ def _refine(
     m2: float,
     gamma: float,
     max_rounds: int,
+    theta: float = 0.0,
+    seed: int = 42,
 ) -> DataFrame:
     """Leiden refinement: split each community of ``comm`` into
     internally-connected subcommunities; returns (id, community, sub).
@@ -159,22 +172,116 @@ def _refine(
         )
         from pyspark.sql import Window
 
-        win = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("cand"))
-        moves = (
-            wvs.join(stable.withColumnRenamed("sub", "cand"), "cand", "left_semi")
-            .join(movers.select("id", "k", "sub"), "id")
-            .where(F.col("cand") != F.col("sub"))
-            .join(tot, "cand")
-            .withColumn(
-                "gain",
-                F.col("wvs")
-                - F.lit(gamma) * F.col("k") * F.col("_tot") / F.lit(m2),
+        if theta > 0:
+            # Traag et al. 2019 randomized refinement (paper's theta):
+            # (a) mover well-connectedness: w(v, C-v) >= gamma *
+            #     k_v * (K_C - k_v) / 2m,
+            # (b) target-sub well-connectedness: w(S, C-S) >= gamma *
+            #     K_S * (K_C - K_S) / 2m,
+            # (c) target drawn ~ exp(gain/theta) over gain >= 0
+            #     candidates via a seeded inverse-CDF hash draw.
+            # The parity/stationary-target device is kept — it is
+            # what makes the PARALLEL round sound (no dissolving
+            # targets); theta only randomizes the choice within it.
+            csub = state.select(F.col("id").alias("src"), F.col("sub").alias("_ss"))
+            dsub = state.select(F.col("id").alias("dst"), F.col("sub").alias("_ds"))
+            kC = state.groupBy("community").agg(F.sum("k").alias("_kC"))
+            wvc = intra.groupBy(F.col("src").alias("id")).agg(
+                F.sum("w").alias("_wvc")
             )
-            .where(F.col("gain") > 0)
-            .withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") == 1)
-            .select("id", F.col("cand").alias("_new_sub"))
-        )
+            elig_mover = (
+                movers.join(wvc, "id", "left")
+                .join(kC, "community")
+                .where(
+                    F.coalesce(F.col("_wvc"), F.lit(0.0))
+                    >= F.lit(gamma)
+                    * F.col("k")
+                    * (F.col("_kC") - F.col("k"))
+                    / F.lit(m2)
+                )
+                .select("id", "k", "sub")
+            )
+            ws_out = (
+                intra.join(csub, "src")
+                .join(dsub, "dst")
+                .where(F.col("_ss") != F.col("_ds"))
+                .groupBy(F.col("_ss").alias("cand"))
+                .agg(F.sum("w").alias("_wso"))
+            )
+            sub_comm = state.groupBy(F.col("sub").alias("cand")).agg(
+                F.sum("k").alias("_KS"), F.first("community").alias("_sc")
+            )
+            elig_target = (
+                sub_comm.join(
+                    kC.select(F.col("community").alias("_sc"), "_kC"), "_sc"
+                )
+                .join(ws_out, "cand", "left")
+                .where(
+                    F.coalesce(F.col("_wso"), F.lit(0.0))
+                    >= F.lit(gamma)
+                    * F.col("_KS")
+                    * (F.col("_kC") - F.col("_KS"))
+                    / F.lit(m2)
+                )
+                .join(
+                    stable.withColumnRenamed("sub", "cand"), "cand", "left_semi"
+                )
+                .select("cand")
+            )
+            wcum = (
+                Window.partitionBy("id")
+                .orderBy("cand")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            u = (
+                F.pmod(
+                    F.xxhash64("id", F.lit(int(seed)), F.lit(int(r))),
+                    F.lit(1 << 20),
+                )
+                + 0.5
+            ) / float(1 << 20)
+            moves = (
+                wvs.join(elig_target, "cand", "left_semi")
+                .join(elig_mover, "id")
+                .where(F.col("cand") != F.col("sub"))
+                .join(tot, "cand")
+                .withColumn(
+                    "gain",
+                    F.col("wvs")
+                    - F.lit(gamma) * F.col("k") * F.col("_tot") / F.lit(m2),
+                )
+                .where(F.col("gain") >= 0)
+                .withColumn(
+                    "_wt",
+                    F.exp(F.least(F.col("gain") / F.lit(theta), F.lit(50.0))),
+                )
+                .withColumn("_cum", F.sum("_wt").over(wcum))
+                .withColumn("_totwt", F.sum("_wt").over(Window.partitionBy("id")))
+                .where(F.col("_cum") >= u * F.col("_totwt"))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(Window.partitionBy("id").orderBy("cand")),
+                )
+                .where(F.col("_rn") == 1)
+                .select("id", F.col("cand").alias("_new_sub"))
+            )
+        else:
+            win = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("cand"))
+            moves = (
+                wvs.join(stable.withColumnRenamed("sub", "cand"), "cand", "left_semi")
+                .join(movers.select("id", "k", "sub"), "id")
+                .where(F.col("cand") != F.col("sub"))
+                .join(tot, "cand")
+                .withColumn(
+                    "gain",
+                    F.col("wvs")
+                    - F.lit(gamma) * F.col("k") * F.col("_tot") / F.lit(m2),
+                )
+                .where(F.col("gain") > 0)
+                .withColumn("_rn", F.row_number().over(win))
+                .where(F.col("_rn") == 1)
+                .select("id", F.col("cand").alias("_new_sub"))
+            )
         n_moves = moves.count()
         if n_moves == 0:
             break
@@ -264,7 +371,8 @@ def leiden(
         prev_q = q
         # refinement + contraction over the REFINED partition
         refined = _refine(
-            level_edges, comm, m2, cfg.gamma, cfg.max_refine_rounds
+            level_edges, comm, m2, cfg.gamma, cfg.max_refine_rounds,
+            theta=cfg.theta, seed=cfg.seed,
         )
         n_coarse = refined.select("sub").distinct().count()
         if n_coarse == n_level and init is not None:

@@ -37,6 +37,7 @@ class ProcResult:
     graph: Graph
     _compute: Callable[[], tuple[DataFrame, dict]]
     value_column: str
+    algo: str = "pregel"
     _cached: tuple[DataFrame, dict] | None = field(default=None, repr=False)
 
     def _run(self) -> tuple[DataFrame, dict]:
@@ -93,19 +94,25 @@ class ProcResult:
         return {"path": path, "rows": rows, **meta}
 
     # -- estimation -------------------------------------------------------
-    def estimate(self) -> dict[str, Any]:
+    def estimate(self, **cfg) -> dict[str, Any]:
         """Pre-flight memory estimate (Pregel.memoryEstimation analog,
-        Pregel.java:81-98): state bytes = rows x width; message bytes
-        bounded by edge count x 16."""
+        Pregel.java:81-98): a per-algorithm estimation TREE from
+        graph_data_science_spark.estimation — named components
+        (state DataFrame, superstep messages, cached edge layout, …)
+        sized against (nodeCount, relationshipCount), like the
+        reference's MemoryEstimations builder; unknown procs fall
+        back to the generic Pregel shape."""
+        from graph_data_science_spark import estimation
+
         n = self.graph.node_count()
         m = self.graph.edge_count()
-        state_width = 8 * 4  # id + value + delta + halted, as longs/doubles
+        tree = estimation.estimate(self.algo, n, m, **cfg)
         est = {
+            "algorithm": self.algo,
             "node_count": n,
             "relationship_count": m,
-            "state_bytes": n * state_width,
-            "message_bytes": m * 16,
-            "total_bytes": n * state_width + m * 16,
+            "total_bytes": tree.total,
+            "tree": tree.as_dict(),
         }
         est["human"] = f"{est['total_bytes'] / (1 << 20):.1f} MiB"
         return est
@@ -119,7 +126,16 @@ class GdsEngine:
         self.graph = GraphCatalog()
 
     def _proc(self, graph, fn, value_column) -> ProcResult:
-        return ProcResult(graph=graph, _compute=fn, value_column=value_column)
+        # the facade method's own name IS the algorithm name
+        # (gds.pagerank -> "pagerank"), so every proc gets routed to
+        # its estimation tree without threading a label through all
+        # ~50 call sites
+        import sys
+
+        algo = sys._getframe(1).f_code.co_name
+        return ProcResult(
+            graph=graph, _compute=fn, value_column=value_column, algo=algo
+        )
 
     @staticmethod
     def _min_size_filter(df: DataFrame, col: str, min_size: int | None) -> DataFrame:

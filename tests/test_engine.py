@@ -172,3 +172,55 @@ def test_min_component_size_filter(spark, gds):
     assert sorted(r["id"] for r in lv) == [0, 1, 2]
     # size 1 / None are no-ops
     assert len(gds.wcc(g, min_component_size=1).stream().collect()) == 5
+
+
+def test_estimate_per_algorithm_trees(spark, gds):
+    """Each facade proc routes to its own estimation tree; the tree
+    decomposes into named components like MemoryEstimations."""
+    g = gds.graph.create("eg_tree", edge_df(spark, PAGERANK_EDGES))
+    pr = gds.pagerank(g).estimate()
+    assert pr["algorithm"] == "pagerank"
+    names = [c["name"] for c in pr["tree"]["components"]]
+    assert "node value (state DataFrame)" in names
+    assert "messages (superstep shuffle)" in names
+    ns = gds.node_similarity(g).estimate()
+    assert ns["algorithm"] == "node_similarity"
+    assert ns["total_bytes"] != pr["total_bytes"]
+    # unknown algorithms fall back to the generic pregel shape
+    from graph_data_science_spark.estimation import estimate as est_tree
+    fallback = est_tree("no_such_algo", 100, 200)
+    assert fallback.total > 0
+
+
+def test_estimate_tracks_measured_state(spark, gds):
+    """Pregel.java:81-98 contract: the formula must TRACK reality.
+    Measured = block-manager bytes of the checkpointed state after a
+    pagerank run; assert the tree's absolute number is within a
+    32x band on both sizes AND that its growth between a 10x size
+    step matches the measured growth within 4x (the scaling claim is
+    the part a reject-before-execution guard actually relies on)."""
+
+    def chain_edges(n):
+        return [(i, (i + 1) % n) for i in range(n)] + [
+            (i, (i * 7 + 3) % n) for i in range(0, n, 3)
+        ]
+
+    def run_measured(name, n):
+        g = gds.graph.create(name, edge_df(spark, chain_edges(n)))
+        jsc = spark.sparkContext._jsc.sc()
+        before = sum(r.memSize() for r in jsc.getRDDStorageInfo())
+        proc = gds.pagerank(g, max_iterations=5)
+        proc.stream().count()
+        after = sum(r.memSize() for r in jsc.getRDDStorageInfo())
+        est = proc.estimate()
+        return max(after - before, 1), est["total_bytes"]
+
+    m_small, e_small = run_measured("eg_sz_small", 300)
+    m_big, e_big = run_measured("eg_sz_big", 3000)
+    for m, e in ((m_small, e_small), (m_big, e_big)):
+        assert e / 32 <= m <= e * 32, (m, e)
+    growth_measured = m_big / m_small
+    growth_est = e_big / e_small
+    assert growth_est / 4 <= growth_measured <= growth_est * 4, (
+        growth_measured, growth_est,
+    )

@@ -134,3 +134,34 @@ def test_leiden_empty_graph(spark):
     res = leiden(spark, g)
     assert isinstance(res, LeidenResult)
     assert res.modularity == 0.0
+
+
+def test_leiden_theta_refinement_quality(spark):
+    """theta > 0 enables Traag's randomized well-connected merge;
+    with the pinned seed it must reach at least the deterministic
+    mode's quality on the fixture graphs (the paper's claim is that
+    randomized refinement explores partitions greedy merging misses,
+    never that it degrades a converged fixture)."""
+    for pairs in (
+        _clique([0, 1, 2, 3]) + _clique([4, 5, 6, 7]) + [(3, 4)],
+        _clique([0, 1, 2])
+        + _clique([3, 4, 5])
+        + _clique([6, 7, 8])
+        + [(2, 3), (5, 6), (8, 0)],
+    ):
+        g = _graph(spark, pairs, name=f"gl_theta_{len(pairs)}")
+        q_det = leiden(spark, g).modularity
+        q_theta = leiden(
+            spark, g, LeidenConfig(theta=0.05, seed=11)
+        ).modularity
+        assert q_theta >= q_det - 1e-9
+        # same seed -> same result (hash draws, no RNG state)
+        q_again = leiden(
+            spark, g, LeidenConfig(theta=0.05, seed=11)
+        ).modularity
+        assert q_again == pytest.approx(q_theta, abs=1e-12)
+
+
+def test_leiden_theta_validation(spark):
+    with pytest.raises(ValueError, match="theta"):
+        LeidenConfig(theta=-0.1)

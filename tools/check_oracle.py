@@ -51,7 +51,14 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    only = set(argv)
+    results: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -61,6 +68,19 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+
+    def record(name, *, rows_match, schema_match, hash_match, spark_rows,
+               oracle_rows, err, sec):
+        results[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+            "spark_sec": round(sec, 2),
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,6 +92,9 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=None, oracle_rows=None,
+                   err=f"spark error: {exc}"[:500], sec=time.monotonic() - t0)
             continue
         spark_s = time.monotonic() - t0
         if name not in oracles:
@@ -79,6 +102,10 @@ def main() -> int:
                   f"[{spark_s:.1f}s]")
             if len(srows) == 0:
                 print(f"WARN {name}: zero rows")
+            record(name, rows_match=len(srows) > 0, schema_match=None,
+                   hash_match=None, spark_rows=len(srows), oracle_rows=None,
+                   err=None if srows else "zero rows (rows-only check)",
+                   sec=spark_s)
             continue
         try:
             rel = con.sql(oracles[name])
@@ -87,16 +114,25 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=len(srows), oracle_rows=None,
+                   err=f"duckdb error: {exc}"[:500], sec=spark_s)
             continue
         sn, sc = normalize(srows, scols)
         dn, dc = normalize(drows, dcols)
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duckdb={dc}")
             failures.append(name)
+            record(name, rows_match=len(sn) == len(dn), schema_match=False,
+                   hash_match=False, spark_rows=len(sn), oracle_rows=len(dn),
+                   err=f"columns spark={sc} duckdb={dc}"[:500], sec=spark_s)
             continue
         if len(sn) != len(dn):
             print(f"FAIL {name}: rowcount spark={len(sn)} duckdb={len(dn)}")
             failures.append(name)
+            record(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(sn), oracle_rows=len(dn),
+                   err="rowcount mismatch", sec=spark_s)
             continue
         bad = None
         for i, (a, b) in enumerate(zip(sn, dn)):
@@ -108,9 +144,32 @@ def main() -> int:
             print(f"  spark : {bad[1]}")
             print(f"  duckdb: {bad[2]}")
             failures.append(name)
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(sn), oracle_rows=len(dn),
+                   err=f"value diff at sorted-row {bad[0]}", sec=spark_s)
         else:
             print(f"PASS {name}: rows={len(sn)} [{spark_s:.1f}s]")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(sn), oracle_rows=len(dn), err=None,
+                   sec=spark_s)
     print("----")
+    if json_path:
+        import datetime
+        import json as _json
+
+        payload = {
+            "sf_dir": SF_DIR,
+            "generated_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(timespec="seconds"),
+            "n_checked": len(results),
+            "n_failed": len(failures),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(payload, fh, indent=1)
+        print(f"wrote {json_path} ({len(results)} queries)")
     if failures:
         print("FAILURES:", failures)
         return 1
