@@ -209,6 +209,69 @@ def run_pipeline_block(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_loground_block(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """The O(log n)-round machinery (Euler-tour biconnectivity,
+    Steiner backtrack, HashGNN iterations) — constant-heavy by
+    construction (each round is several Spark jobs), so regressions
+    hide unless timed every round. Reported separately from the
+    headline sum (list frozen at r1's). Plan-audit notes in BENCH.md
+    ("Log-round block")."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in ("bridges", "steiner_tree", "hashgnn"):
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def make_sf10(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
+    """Synthesize the 10x (sf~1.0) dataset ONCE from the sf0.1
+    tables the headline reads (events / documents / embeddings):
+    10 deterministic copies with disjoint id offsets. Entity counts
+    scale 10x while the tool/event-type vocabulary stays fixed, so
+    hub degrees grow 10x — the skew-handling paths get a genuinely
+    harder input, not just more of the same."""
+    from pyspark.sql import functions as F
+
+    done = os.path.join(dst_dir, "_DONE")
+    if os.path.exists(done):
+        return
+    import shutil
+
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(dst_dir, exist_ok=True)
+    offsets = {
+        "events": {"user_id": 10_000_000, "event_id": 1_000_000_000},
+        "documents": {"doc_id": 1_000_000_000},
+        "embeddings": {"vec_id": 1_000_000_000},
+    }
+    for table, offs in offsets.items():
+        df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
+        copies = []
+        for i in range(10):
+            copies.append(
+                df.select(
+                    *[
+                        (F.col(c) + F.lit(i * offs[c])).alias(c)
+                        if c in offs
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            )
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{table}.parquet")
+        )
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+
+
 def lsh_recall(spark: SparkSession, sf_dir: str) -> dict:
     """Recall@k of the LSH top-k vs the exact brute-force top-k, at
     n_tables=1 and the headline n_tables=2 — the measured recall gain
@@ -419,8 +482,34 @@ def main() -> None:
     # the cold ones what a fresh spark-submit pays once
     queries_warm = run_headline(spark, SF_DIR)
     pipeline_queries = run_pipeline_block(spark, SF_DIR)
+    # warm repeat of the pipeline block too — same rationale as
+    # queries_warm: the resident-session number per operator
+    pipeline_queries_warm = run_pipeline_block(spark, SF_DIR)
+    loground_queries = run_loground_block(spark, SF_DIR)
     pr_stats = timed_pagerank(spark, SF_DIR)
     recall = lsh_recall(spark, SF_DIR)
+    # 10x datapoint: the same headline list + fixed-superstep
+    # PageRank against a synthesized sf~1.0 dataset — the empirical
+    # check that no headline operator hides a super-linear term
+    # (runs warm-JVM by design, so compare against queries_warm)
+    sf10_block = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1":
+        sf10_dir = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "gds_spark_sf10"
+        )
+        make_sf10(spark, SF_DIR, sf10_dir)
+        t_sf10 = time.monotonic()
+        sf10_queries = run_headline(spark, sf10_dir)
+        sf10_pr = timed_pagerank(spark, sf10_dir)
+        sf10_block = {
+            "sf": "1.0",
+            "source": "10 id-offset copies of the sf0.1 tables "
+            "(see bench.make_sf10); warm JVM — compare vs queries_warm",
+            "queries": sf10_queries,
+            "value_sec": round(sum(sf10_queries.values()), 3),
+            "pagerank": sf10_pr,
+            "wall_sec_total": round(time.monotonic() - t_sf10, 3),
+        }
     spark.stop()
     busy1, bw1 = _busy_cores(), _bw_probe()
 
@@ -439,9 +528,15 @@ def main() -> None:
         # but NOT in the headline sum (headline list frozen at r1's)
         "pipeline_queries": pipeline_queries,
         "pipeline_total_sec": round(sum(pipeline_queries.values()), 3),
+        "pipeline_queries_warm": pipeline_queries_warm,
+        "pipeline_total_warm_sec": round(sum(pipeline_queries_warm.values()), 3),
+        # O(log n)-round machinery, timed so constant regressions show
+        "loground_queries": loground_queries,
+        "loground_total_sec": round(sum(loground_queries.values()), 3),
         "sf": sf,
         "pagerank": pr_stats,
         "ann_lsh_recall": recall,
+        "sf10": sf10_block,
         # host conditions bracketing the headline block; membw below
         # the quiet floor means a co-tenant burst landed mid-run and
         # absolute timings are inflated accordingly

@@ -26,6 +26,16 @@ Implemented as the DBSCAN*/single-linkage core of HDBSCAN
 Deterministic (exact distances, min-id cluster labels) and fully
 SQL-replayable: the driver oracle recomputes distances, core
 distances, the epsilon graph, and min-label components in DuckDB.
+
+DIVERGENCE from GDS 2.5 `gds.hdbscan`: the reference extracts the
+flat clustering from the full condensed hierarchy by per-cluster
+STABILITY (sum of 1/lambda spans), with no epsilon parameter; this
+implementation is the DBSCAN* cut of the same mutual-reachability
+structure at a caller-chosen epsilon — i.e. one fixed density level
+of the hierarchy rather than the stability-optimal mix of levels.
+Identical on data whose clusters all live at one density scale;
+differs when cluster densities vary widely. Declared in SURVEY.md
+§2 (beyond-reference bonus operator).
 """
 
 from __future__ import annotations

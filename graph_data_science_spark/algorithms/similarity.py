@@ -25,6 +25,12 @@ from graph_data_science_spark.catalog import Graph
 @dataclass
 class NodeSimilarityConfig:
     degree_cutoff: int = 1
+    #: GDS 2.3 upperDegreeCutoff (NodeSimilarityBaseConfig): nodes
+    #: with MORE neighbors than this are excluded from comparison
+    #: entirely — the reference's own guard against hub sources whose
+    #: neighborhood lists make exact set intersection quadratic.
+    #: 0 = unlimited (the reference's 2^31-1 default)
+    upper_degree_cutoff: int = 0
     similarity_cutoff: float = 1e-42
     top_k: int = 10
     #: per-node LEAST-similar k (NodeSimilarityBaseConfig bottomK);
@@ -91,6 +97,8 @@ def node_similarity(
         *([F.sum("_w").alias("tot")] if cfg.weighted else []),
     )
     eligible = deg.where(F.col("deg") >= cfg.degree_cutoff)
+    if cfg.upper_degree_cutoff > 0:
+        eligible = eligible.where(F.col("deg") <= cfg.upper_degree_cutoff)
     e = edges.join(eligible.select("src"), "src", "left_semi")
 
     wcols1 = [F.col("_w").alias("_w1")] if cfg.weighted else []

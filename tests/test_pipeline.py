@@ -652,3 +652,27 @@ def test_dedup_spans(spark):
     assert got[3]["deduped_text"] == "p q r"
     assert got[4]["n_spans_kept"] == 1 and got[4]["deduped_text"] == "m n o"
     assert got[5]["n_spans"] == 0 and got[5]["deduped_text"] == ""
+
+
+def test_node_similarity_upper_degree_cutoff(spark, catalog):
+    """GDS 2.3 upperDegreeCutoff: sources with more neighbors than
+    the cutoff are excluded from comparison entirely — the
+    reference's guard against quadratic hub sources."""
+    from graph_data_science_spark.algorithms.similarity import (
+        NodeSimilarityConfig,
+        node_similarity,
+    )
+    from tests.conftest import edge_df
+
+    # node 9 is a 4-neighbor hub; 0/1 have 2 neighbors each
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11)] + [
+        (9, t) for t in (10, 11, 12, 13)
+    ]
+    g = catalog.create("nsim_udc", edge_df(spark, edges))
+    got = node_similarity(
+        spark, g, NodeSimilarityConfig(top_k=5, upper_degree_cutoff=2)
+    ).collect()
+    nodes_seen = {r["node1"] for r in got} | {r["node2"] for r in got}
+    assert 9 not in nodes_seen
+    pairs = {(r["node1"], r["node2"]): r["similarity"] for r in got}
+    assert pairs[(0, 1)] == 1.0
