@@ -4315,10 +4315,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cutoff costs the least evidence.
     return {
         # Round-4 rotation: the driver's budgeted sweep checks the
-        # HEAD of this dict, so the 92 queries with no green row in
-        # any committed CORRECTNESS_r0{1,2,3}.json come first (judge-
-        # named round-3 flagships leading), and queries already
-        # evidenced by a committed driver artifact follow.
+        # HEAD of this dict, so the queries with no green row in any
+        # committed CORRECTNESS_r0{1,2,3}.json come first — judge-
+        # named round-3 flagships leading, the rest cheapest-first
+        # (measured sf0.01 gate seconds) so a time-budgeted sweep
+        # evidences the most queries; already-evidenced queries last.
         "bridges": _q_bridges,
         "articulation_points": _q_articulation_points,
         "hashgnn": _q_hashgnn,
@@ -4350,68 +4351,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_optimization": _q_modularity_optimization,
         "pagerank_windowed": _q_pagerank_windowed,
         "catalog_properties": _q_catalog_properties,
-        "mix_corpus": _q_mix_corpus,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "lm_perplexity": _q_lm_perplexity,
-        "quality_classifier": _q_quality_classifier,
-        "dsir_weights": _q_dsir_weights,
-        "binary_auc": _q_binary_auc,
-        "classifier_report": _q_classifier_report,
-        "hard_negatives": _q_hard_negatives,
-        "char_entropy": _q_char_entropy,
-        "corpus_divergence": _q_corpus_divergence,
-        "reciprocity": _q_reciprocity,
-        "knn_label_agreement": _q_knn_label_agreement,
-        "ngram_diversity": _q_ngram_diversity,
+        "scale_log": _q_scale_log,
+        "scale_center": _q_scale_center,
+        "weighted_sample": _q_weighted_sample,
+        "scale_l2norm": _q_scale_l2norm,
         "freq_spectrum": _q_freq_spectrum,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
         "shard_corpus": _q_shard_corpus,
-        "weighted_sample": _q_weighted_sample,
-        "sample_token_budget": _q_sample_token_budget,
         "stratified_sample": _q_stratified_sample,
-        "dedup_clusters": _q_dedup_clusters,
-        "verify_candidates": _q_verify_candidates,
-        "dedup_spans": _q_dedup_spans,
-        "ann_pearson_topk": _q_ann_pearson,
-        "ann_euclidean_topk": _q_ann_euclidean,
-        "semantic_dedup": _q_semantic_dedup,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "corpus_filter": _q_corpus_filter,
-        "render_chat": _q_render_chat,
-        "sft_pipeline": _q_sft_pipeline,
-        "graph_validate": _q_graph_validate,
         "powerlaw_fit": _q_powerlaw_fit,
-        "assortativity": _q_assortativity,
-        "k_core": _q_k_core,
-        "table_profile": _q_table_profile,
-        "jl_project": _q_jl_project,
+        "time_rollup": _q_time_rollup,
+        "classifier_report": _q_classifier_report,
         "group_split": _q_group_split,
-        "pca_embeddings": _q_pca_embeddings,
-        "neighborhood_function": _q_neighborhood_function,
+        "vocab_coverage": _q_vocab_coverage,
+        "corpus_filter": _q_corpus_filter,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
-        "time_rollup": _q_time_rollup,
-        "vocab_coverage": _q_vocab_coverage,
+        "ann_euclidean_topk": _q_ann_euclidean,
+        "render_chat": _q_render_chat,
         "degree_distribution": _q_degree_distribution,
-        "closeness_wasserman_faust": _q_closeness_wf,
-        "all_shortest_paths": _q_all_shortest_paths,
-        "linkpred_scores": _q_linkpred_scores,
-        "triangles": _q_triangles,
-        "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
-        "scale_log": _q_scale_log,
-        "scale_l2norm": _q_scale_l2norm,
-        "scale_center": _q_scale_center,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "jl_project": _q_jl_project,
+        "table_profile": _q_table_profile,
+        "corpus_divergence": _q_corpus_divergence,
         "graph_density": _q_graph_density,
-        "csv_roundtrip": _q_csv_roundtrip,
+        "dedup_spans": _q_dedup_spans,
+        "mix_corpus": _q_mix_corpus,
+        "char_entropy": _q_char_entropy,
+        "graph_validate": _q_graph_validate,
+        "reciprocity": _q_reciprocity,
+        "sample_token_budget": _q_sample_token_budget,
         "engine_write": _q_engine_write,
-        "streaming_session_stats": _q_streaming_session_stats,
-        "streaming_edge_rates": _q_streaming_edge_rates,
-        "generator": _q_generator,
+        "k_core": _q_k_core,
+        "hard_negatives": _q_hard_negatives,
         "engine_stats": _q_engine_stats,
+        "binary_auc": _q_binary_auc,
+        "knn_label_agreement": _q_knn_label_agreement,
+        "ngram_diversity": _q_ngram_diversity,
+        "lm_perplexity": _q_lm_perplexity,
+        "ann_pearson_topk": _q_ann_pearson,
+        "pca_embeddings": _q_pca_embeddings,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "quality_classifier": _q_quality_classifier,
+        "dsir_weights": _q_dsir_weights,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "assortativity": _q_assortativity,
+        "closeness_wasserman_faust": _q_closeness_wf,
+        "streaming_edge_rates": _q_streaming_edge_rates,
+        "triangles": _q_triangles,
+        "neighborhood_function": _q_neighborhood_function,
+        "generator": _q_generator,
+        "verify_candidates": _q_verify_candidates,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "sft_pipeline": _q_sft_pipeline,
+        "all_shortest_paths": _q_all_shortest_paths,
+        "streaming_session_stats": _q_streaming_session_stats,
+        "dedup_clusters": _q_dedup_clusters,
+        "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
         "split_relationships": _q_split_relationships,
+        "semantic_dedup": _q_semantic_dedup,
+        "linkpred_scores": _q_linkpred_scores,
+        "csv_roundtrip": _q_csv_roundtrip,
         "transcripts": _q_transcripts,
         "conversation_stats": _q_conversation_stats,
         "conversation_dedup": _q_conversation_dedup,

@@ -513,3 +513,27 @@ class GdsEngine:
         return self._proc(
             graph, lambda: (hashgnn_dense(self.spark, graph, **cfg), {}), "embedding"
         )
+
+    def list(self, prefix: str = "") -> DataFrame:
+        """`gds.list` analog (ListProc): one row per available
+        procedure — name, the algorithm's docstring headline as the
+        description, and the modes every proc supports. Introspected
+        from the facade itself so it can never drift from reality."""
+        import inspect
+
+        rows = []
+        for name, member in inspect.getmembers(type(self)):
+            if name.startswith("_") or name in ("list",):
+                continue
+            if not callable(member):
+                continue
+            sig = inspect.signature(member)
+            if "graph" not in sig.parameters:
+                continue
+            doc = (inspect.getdoc(member) or name).splitlines()[0]
+            rows.append((f"gds.{name}", doc, "stream,stats,mutate,write,estimate"))
+        out = self.spark.createDataFrame(
+            sorted(r for r in rows if r[0].startswith(f"gds.{prefix}")),
+            "name string, description string, modes string",
+        )
+        return out

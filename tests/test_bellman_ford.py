@@ -76,3 +76,28 @@ def test_undirected_negative_edge_is_a_cycle(spark, catalog):
     assert stats["contains_negative_cycle"] is True
     rows = {r["id"]: r for r in got.collect()}
     assert rows[1]["negative_cycle"] and rows[2]["negative_cycle"]
+
+
+def test_equal_distance_smaller_predecessor_wins_across_rounds(spark, catalog):
+    """The min-(distance, predecessor) tie-break is round-order
+    independent: the optimal predecessor with the SMALLER id wins
+    even when its path has more hops (settles in a later relaxation
+    round). Here node 9 is reachable at cost 3 via 5 (2 hops,
+    settles first) and via 2 (3 hops, settles later); pred must be
+    min(5, 2) = 2."""
+    pairs = [(0, 5), (5, 9), (0, 1), (1, 2), (2, 9)]
+    weights = [2.0, 1.0, 1.0, 1.0, 1.0]
+    g = catalog.create("bf_tie", edge_df(spark, pairs, weights=weights))
+    got = {
+        r["id"]: (r["distance"], r["predecessor"])
+        for r in bellman_ford(spark, g, source=0).collect()
+    }
+    assert got[9] == (3.0, 2)
+
+    from graph_data_science_spark.algorithms.paths import sssp
+
+    got_d = {
+        r["id"]: (r["distance"], r["predecessor"])
+        for r in sssp(spark, g, source=0).collect()
+    }
+    assert got_d[9] == (3.0, 2)

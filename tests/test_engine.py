@@ -224,3 +224,15 @@ def test_estimate_tracks_measured_state(spark, gds):
     assert growth_est / 4 <= growth_measured <= growth_est * 4, (
         growth_measured, growth_est,
     )
+
+
+def test_gds_list_procs(spark, gds):
+    """gds.list analog (ListProc): introspected proc inventory with
+    modes; prefix filter narrows like the reference's gds.list(name)."""
+    procs = {r["name"] for r in gds.list().collect()}
+    for expected in ("gds.pagerank", "gds.wcc", "gds.label_propagation",
+                     "gds.triangle_count", "gds.node_similarity"):
+        assert expected in procs
+    pr_only = gds.list(prefix="pagerank").collect()
+    assert [r["name"] for r in pr_only] == ["gds.pagerank"]
+    assert all("estimate" in r["modes"] for r in pr_only)
