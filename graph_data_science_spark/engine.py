@@ -537,3 +537,48 @@ class GdsEngine:
             "name string, description string, modes string",
         )
         return out
+
+    def list_progress(self) -> DataFrame:
+        """`gds.beta.listProgress` analog (ListProgressProc): one row
+        per Pregel task this session — registered at run start,
+        updated per superstep, marked FINISHED/FAILED on exit."""
+        from graph_data_science_spark.pregel import list_progress
+
+        rows = [
+            (
+                t["task_id"], t["task"], t["status"], t["iteration"],
+                t["max_iterations"], t["active"], t["elapsed_sec"],
+            )
+            for t in list_progress()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "task_id long, task string, status string, iteration int, "
+            "max_iterations int, active long, elapsed_sec double",
+        )
+
+    def sys_info(self) -> dict[str, Any]:
+        """`gds.debug.sysInfo` analog (SysInfoProc): the execution
+        environment an operator actually runs in."""
+        sc = self.spark.sparkContext
+        conf = self.spark.conf
+        import pyspark
+
+        def _get(key, default=None):
+            try:
+                return conf.get(key)
+            except Exception:  # noqa: BLE001 - unset key
+                return default
+
+        return {
+            "sparkVersion": pyspark.__version__,
+            "master": sc.master,
+            "defaultParallelism": sc.defaultParallelism,
+            "shufflePartitions": _get("spark.sql.shuffle.partitions"),
+            "adaptiveEnabled": _get("spark.sql.adaptive.enabled"),
+            "arrowEnabled": _get(
+                "spark.sql.execution.arrow.pyspark.enabled"
+            ),
+            "driverMemory": _get("spark.driver.memory"),
+            "sessionTimeZone": _get("spark.sql.session.timeZone"),
+        }

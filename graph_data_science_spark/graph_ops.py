@@ -417,3 +417,33 @@ def reciprocity(edges) -> "DataFrame":
             ),
         ).alias("r"),
     )
+
+
+def size_of(graph: Graph) -> dict[str, Any]:
+    """`gds.internal.graph.sizeOf` analog (GraphMemoryUsageProc):
+    memory footprint of a catalog graph, decomposed like the
+    reference's detail map. Estimation-based (Tungsten row widths
+    from graph_data_science_spark.estimation) — the resident-bytes
+    contract a reject-before-load guard needs, without scanning."""
+    from graph_data_science_spark.estimation import ROW_OVERHEAD, WORD, _human
+
+    n = graph.node_count()
+    m = graph.edge_count()
+    n_edge_cols = len(graph.edges.columns)
+    node_cols = graph.nodes.columns if graph.nodes is not None else ["id"]
+    edge_bytes = m * (ROW_OVERHEAD + WORD * n_edge_cols)
+    node_bytes = n * (ROW_OVERHEAD + WORD * len(node_cols))
+    total = edge_bytes + node_bytes
+    return {
+        "graphName": graph.name,
+        "nodeCount": n,
+        "relationshipCount": m,
+        "totalBytes": total,
+        "human": _human(total),
+        "detail": {
+            "relationships": edge_bytes,
+            "nodes": node_bytes,
+            "relationshipColumns": n_edge_cols,
+            "nodeColumns": len(node_cols),
+        },
+    }

@@ -60,6 +60,61 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     except Exception:
         pass
 
+# -- progress registry (ListProgressProc analog) --------------------------
+# gds.beta.listProgress semantics (proc/.../ListProgressProc.java): every
+# Pregel run registers a task here, updates it per superstep, and marks
+# it FINISHED/FAILED on exit; `list_progress()` snapshots the registry.
+# Driver-side only (one entry per run, a handful of fields) — this is
+# the task-store mirror of the per-partition metrics jsonl the
+# checkpoint dir already records.
+_TASK_REGISTRY: dict[int, dict] = {}
+_TASK_CAP = 200
+_task_seq = iter(range(1, 1 << 62))
+
+
+def _task_register(task: str, max_iterations: int, start_iter: int) -> int:
+    tid = next(_task_seq)
+    if len(_TASK_REGISTRY) >= _TASK_CAP:
+        # drop the oldest non-running entries first
+        for old in sorted(_TASK_REGISTRY):
+            if _TASK_REGISTRY[old]["status"] != "RUNNING":
+                del _TASK_REGISTRY[old]
+            if len(_TASK_REGISTRY) < _TASK_CAP:
+                break
+    _TASK_REGISTRY[tid] = {
+        "task_id": tid,
+        "task": task,
+        "status": "RUNNING",
+        "iteration": start_iter,
+        "max_iterations": max_iterations,
+        "active": -1,
+        "started_unix": time.time(),
+        "elapsed_sec": 0.0,
+    }
+    return tid
+
+
+def _task_update(tid: int, iteration: int, active: int) -> None:
+    t = _TASK_REGISTRY.get(tid)
+    if t is not None:
+        t["iteration"] = iteration
+        t["active"] = active
+        t["elapsed_sec"] = round(time.time() - t["started_unix"], 3)
+
+
+def _task_finish(tid: int, status: str) -> None:
+    t = _TASK_REGISTRY.get(tid)
+    if t is not None:
+        t["status"] = status
+        t["elapsed_sec"] = round(time.time() - t["started_unix"], 3)
+
+
+def list_progress() -> list[dict]:
+    """Snapshot of registered Pregel tasks, most recent first
+    (gds.beta.listProgress analog)."""
+    return [dict(_TASK_REGISTRY[k]) for k in sorted(_TASK_REGISTRY, reverse=True)]
+
+
 _REDUCERS: dict[str, Callable[[str], Column]] = {
     "sum": F.sum,
     "min": F.min,
@@ -372,8 +427,19 @@ class PregelRunner:
         # state/edge co-partitioning re-introduces an exchange per
         # superstep join (restored on exit)
         conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        tid = _task_register(
+            f"{type(computation).__name__} on {graph.name}",
+            self.max_iterations,
+            0,
+        )
+        self._task_id = tid
         try:
-            return self._run_loop(computation, graph, resume, n_parts)
+            out = self._run_loop(computation, graph, resume, n_parts)
+            _task_finish(tid, "FINISHED")
+            return out
+        except BaseException:
+            _task_finish(tid, "FAILED")
+            raise
         finally:
             conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
             conf.set("spark.sql.shuffle.partitions", str(session_parts))
@@ -484,6 +550,7 @@ class PregelRunner:
                 "wall_sec": wall,
             }
             metrics.append(m)
+            _task_update(getattr(self, "_task_id", -1), iteration, n_active)
             if self.checkpoint_dir:
                 # per-iteration run log next to the snapshots — the
                 # north_rule's metrics record; append-only jsonl on a

@@ -236,3 +236,32 @@ def test_gds_list_procs(spark, gds):
     pr_only = gds.list(prefix="pagerank").collect()
     assert [r["name"] for r in pr_only] == ["gds.pagerank"]
     assert all("estimate" in r["modes"] for r in pr_only)
+
+
+def test_list_progress_and_sys_info(spark, gds):
+    """gds.beta.listProgress / gds.debug.sysInfo analogs: a pagerank
+    run registers a task that finishes; sys_info reports the session
+    environment."""
+    g = gds.graph.create("eg_prog", edge_df(spark, PAGERANK_EDGES))
+    gds.pagerank(g, max_iterations=3).stream().count()
+    prog = gds.list_progress().collect()
+    assert prog, "no tasks registered"
+    mine = [r for r in prog if "eg_prog" in r["task"]]
+    assert mine and mine[0]["status"] == "FINISHED"
+    assert mine[0]["iteration"] >= 1
+    info = gds.sys_info()
+    assert info["master"].startswith("local")
+    assert int(info["shufflePartitions"]) > 0
+
+
+def test_graph_size_of(spark):
+    from graph_data_science_spark.graph_ops import size_of
+
+    g = Graph(name="sz", edges=edge_df(spark, PAGERANK_EDGES))
+    out = size_of(g)
+    assert out["graphName"] == "sz"
+    assert out["nodeCount"] == 11 and out["relationshipCount"] == 17
+    assert out["totalBytes"] == (
+        out["detail"]["relationships"] + out["detail"]["nodes"]
+    )
+    assert out["totalBytes"] > 0
