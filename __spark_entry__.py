@@ -2440,6 +2440,32 @@ def _q_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-source document cap (pipeline.sampling.source_caps):
+    the per-domain downsampling of web-corpus curation — cap each
+    source at 50 docs via the seeded-LCG within-source ranking.
+    Value-exact: the oracle replays the LCG draw and the window."""
+    from graph_data_science_spark.pipeline.sampling import source_caps
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return source_caps(docs, cap=50, seed=17).select(
+        "doc_id", "source", F.col("src_rank").cast("int").alias("src_rank")
+    )
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (pipeline.sampling.
+    temperature_mix, q_s ∝ p_s^(1/T) at T=2): the multilingual-
+    sampling knob. Value-exact: rates round to 9 dp on both sides,
+    the LCG draw and acceptance replay in SQL."""
+    from graph_data_science_spark.pipeline.sampling import temperature_mix
+
+    docs = ev.load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, temperature=2.0, weight_col="n_chars", seed=23
+    ).select("doc_id", "source", "accept_rate")
+
+
 def _q_engine_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-algorithm memory-estimation trees through the engine
     facade (Pregel.memoryEstimation analog, pregel/.../Pregel.java:
@@ -4337,6 +4363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cnarw_sample": _q_cnarw_sample,
         "model_catalog": _q_model_catalog,
         "engine_estimate": _q_engine_estimate,
+        "source_caps": _q_source_caps,
+        "temperature_mix": _q_temperature_mix,
         "wcc_threshold": _q_wcc_threshold,
         "wcc_seeded": _q_wcc_seeded,
         "filtered_knn": _q_filtered_knn,
@@ -6269,6 +6297,45 @@ SELECT CAST({GEN_N * GEN_AVG} AS BIGINT) AS n_edges,
        CAST(0 AS BIGINT) AS n_dst_bad,
        CAST({GEN_N} AS BIGINT) AS n_distinct_src,
        TRUE AS deterministic
+""",
+        "temperature_mix": """
+WITH m AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(mass) AS DOUBLE) AS t FROM m),
+q0 AS (SELECT source, mass, POWER(mass / t, 0.5) AS q FROM m, tot),
+qs AS (SELECT SUM(q) AS qsum FROM q0),
+qn AS (SELECT source, mass, q / qsum AS qq FROM q0, qs),
+nmax AS (SELECT MIN(mass / qq) AS n FROM qn),
+r AS (SELECT source, ROUND(qq * n / mass, 9) AS rate FROM qn, nmax),
+a0 AS (
+  SELECT doc_id, source,
+         ((doc_id % 2147483648) * 2654435761 + 23*40503 + 12345) % 2147483648 AS a
+  FROM documents
+)
+SELECT a0.doc_id, a0.source, r.rate AS accept_rate
+FROM a0 JOIN r USING (source)
+WHERE ((((a*a) % 2147483648) * 1103515245 + a) % 2147483648 + 1.0) / 2147483648
+      <= r.rate
+""",
+        "source_caps": """
+WITH a0 AS (
+  SELECT doc_id, source,
+         ((doc_id % 2147483648) * 2654435761 + 17*40503 + 12345) % 2147483648 AS a
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source,
+         ((((a*a) % 2147483648) * 1103515245 + a) % 2147483648 + 1.0) / 2147483648 AS u
+  FROM a0
+)
+SELECT doc_id, source, CAST(rn AS INTEGER) AS src_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+  FROM d
+) x
+WHERE rn <= 50
 """,
         "engine_estimate": f"""
 WITH {USER_TOOL_PRELUDE.strip()},

@@ -56,6 +56,79 @@ def _similarity_expr(metric: str, a, b):
     raise ValueError(f"unknown similarity metric {metric!r}")
 
 
+def _scalar_exact_knn(
+    spark: SparkSession,
+    nodes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int,
+) -> DataFrame:
+    """EXACT top-k for SCALAR properties — no NN-descent.
+
+    1-D similarity 1/(1+|a-b|) is monotone in |a-b|, so each node's
+    true top-k lives among the nodes of the ±top_k nearest DISTINCT
+    values, and within a tied-value group only the top_k+1 smallest
+    ids can ever rank (the (node2 ASC) tie-break prefers them, and
+    k+1 of them crowd out the rest). Candidates are therefore the
+    "group heads" (first top_k+1 ids per value, exact two-stage
+    top-k — no single-task window funnel) of the ±top_k
+    distinct-value window: (2k+1)(k+1) candidates per node, provably
+    a superset of the true top-k. Replaces NN-descent for scalars,
+    whose recall degrades badly on dense/tied values (measured 0.65
+    mean-similarity ratio on sf0.1 c_acctbal; this path is 1.0 by
+    construction). Ranking applies the engine-wide 6-dp similarity
+    rounding before the (similarity DESC, node2 ASC) tie-break, like
+    every other top-k here.
+    """
+    from graph_data_science_spark.util import global_rank
+
+    k = top_k
+    v = nodes.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("double").alias("val")
+    ).where(F.col("val").isNotNull())
+    vals = global_rank(v.select("val").distinct(), ["val"], rank_col="_vr")
+    withpid = v.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("val", "_pid").orderBy("id")
+    pruned = (
+        withpid.withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= k + 1)
+        .drop("_lr", "_pid")
+    )
+    w_g = Window.partitionBy("val").orderBy("id")
+    heads = (
+        pruned.withColumn("_gr", F.row_number().over(w_g))
+        .where(F.col("_gr") <= k + 1)
+        .drop("_gr")
+    )
+    heads_r = heads.join(vals, "val").select(
+        F.col("id").alias("node2"), F.col("val").alias("_bv"),
+        F.col("_vr").alias("_hvr"),
+    )
+    node_r = v.join(vals, "val").select(
+        F.col("id").alias("node1"), F.col("val").alias("_av"), F.col("_vr")
+    )
+    offs = spark.range(-k, k + 1).select(F.col("id").cast("long").alias("_off"))
+    cand = (
+        node_r.join(F.broadcast(offs))
+        .withColumn("_hvr", F.col("_vr") + F.col("_off"))
+        .join(heads_r, "_hvr")
+        .where(F.col("node1") != F.col("node2"))
+    )
+    sims = cand.select(
+        "node1",
+        "node2",
+        F.round(
+            1.0 / (1.0 + F.abs(F.col("_av") - F.col("_bv"))), 6
+        ).alias("similarity"),
+    )
+    win = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
+    return (
+        sims.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .localCheckpoint(eager=True)
+    )
+
+
 def knn(
     spark: SparkSession,
     nodes: DataFrame,
@@ -87,6 +160,10 @@ def knn(
             similarity = "cosine"
         else:
             similarity = _SIMILARITY_FOR_TYPE.get(dtype, "cosine")
+    if similarity == "scalar":
+        # 1-D properties get the exact sorted-neighborhood path —
+        # strictly better than NN-descent there (see docstring)
+        return _scalar_exact_knn(spark, nodes, id_col, vec_col, top_k)
     v = nodes.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).persist()

@@ -309,3 +309,106 @@ def group_split(
     for cum, name in reversed(branches):
         expr = F.when(u < F.lit(cum), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def source_caps(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Hard per-source document cap — the per-domain downsampling
+    step of web-corpus pipelines (cap every domain/source at N docs
+    so megasites don't dominate the mixture; CCNet/RefinedWeb-style).
+
+    Keeps a deterministic uniform subset: documents rank within
+    their source by the seeded LCG draw (ties by id), and rank <= cap
+    survives. Returns (id, source, src_rank) for the kept rows.
+
+    Scale shape: a naive ROW_NUMBER over each source funnels a
+    billion-row domain through ONE task; instead rank locally per
+    (source, input partition) and discard past `cap` FIRST — the
+    global ranking then runs over <= cap x n_partitions rows per
+    source (exact two-stage top-k, same survivors as the single
+    window).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    u = _uniform(id_col, seed)
+    base = df.select(
+        F.col(id_col), F.col(source_col), u.alias("_u")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy(source_col, "_pid").orderBy("_u", id_col)
+    pruned = (
+        base.withColumn("_lrn", F.row_number().over(w_local))
+        .where(F.col("_lrn") <= cap)
+        .drop("_lrn", "_pid")
+    )
+    w_global = Window.partitionBy(source_col).orderBy("_u", id_col)
+    return (
+        pruned.withColumn("src_rank", F.row_number().over(w_global))
+        .where(F.col("src_rank") <= cap)
+        .select(id_col, source_col, "src_rank")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    temperature: float,
+    source_col: str = "source",
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual/multi-
+    source sampling rule q_s ∝ p_s^(1/T) (multinomial sampling with
+    temperature; T=1 keeps natural proportions, T→∞ approaches
+    uniform-over-sources). The standard knob for upweighting tail
+    sources without explicit per-source targets.
+
+    Output (id, source, accept_rate): kept rows after deterministic
+    LCG acceptance at rate r_s = q_s·N/m_s with N sized to the
+    binding source (no upsampling — identical contract to
+    :func:`mix_corpus`, with targets DERIVED from current masses
+    instead of caller-supplied). Rates round to 9 dp so the accept
+    decision replays bit-stably in ANSI SQL despite pow().
+
+    Scale shape: one |sources|-row aggregate, a driver-side
+    O(|sources|) rate table broadcast back — no global sort.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    spark = df.sparkSession
+    wexpr = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
+    masses = {
+        r["source"]: int(r["mass"])
+        for r in df.groupBy(F.col(source_col).alias("source"))
+        .agg(wexpr.alias("mass"))
+        .collect()
+        if r["mass"] and r["mass"] > 0
+    }
+    if not masses:
+        return spark.createDataFrame(
+            [], f"{id_col} long, {source_col} string, accept_rate double"
+        )
+    total = float(sum(masses.values()))
+    q = {s: (m / total) ** (1.0 / temperature) for s, m in masses.items()}
+    qsum = sum(q.values())
+    q = {s: v / qsum for s, v in q.items()}
+    n_out = min(masses[s] / q[s] for s in masses)
+    rates = [(s, round(q[s] * n_out / masses[s], 9)) for s in sorted(masses)]
+    rate_df = spark.createDataFrame(rates, f"{source_col} string, _rate double")
+    u = _uniform(id_col, seed)
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(rate_df), source_col)
+        .where(u <= F.col("_rate"))
+        .select(id_col, source_col, F.col("_rate").alias("accept_rate"))
+    )

@@ -155,3 +155,50 @@ def test_mix_corpus(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampling.mix_corpus(df, {})
+
+
+def test_source_caps_hard_limit_and_determinism(spark):
+    from graph_data_science_spark.pipeline.sampling import source_caps
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_caps(df, cap=10, seed=17)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["src_rank"])
+    assert set(per) == {"s0", "s1", "s2"}
+    for src, ranks in per.items():
+        assert sorted(ranks) == list(range(1, 11))  # exactly cap kept
+    # deterministic across invocations
+    again = {(r["doc_id"], r["src_rank"]) for r in source_caps(df, 10, seed=17).collect()}
+    assert again == {(r["doc_id"], r["src_rank"]) for r in got}
+    # different seed -> (almost surely) different survivor set
+    other = {r["doc_id"] for r in source_caps(df, 10, seed=18).collect()}
+    assert other != {r["doc_id"] for r in got}
+    # small source: cap larger than the source keeps everything
+    tiny = source_caps(df.where("doc_id < 4"), cap=10, seed=17)
+    assert tiny.count() == 4
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """q_s ∝ p_s^(1/T): T=1 reproduces natural proportions (rate 1
+    everywhere — no resampling needed); higher T upweights the tail
+    source relative to the head."""
+    import pytest as _pt
+
+    from graph_data_science_spark.pipeline.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    t1 = temperature_mix(df, temperature=1.0, seed=5)
+    rates1 = {r["source"]: r["accept_rate"] for r in t1.collect()}
+    assert rates1["big"] == _pt.approx(1.0) and rates1["small"] == _pt.approx(1.0)
+
+    t4 = temperature_mix(df, temperature=4.0, seed=5)
+    rates4 = {r["source"]: r["accept_rate"] for r in t4.collect()}
+    # tail keeps everything (binding source); head is downsampled
+    assert rates4["small"] == _pt.approx(1.0)
+    assert rates4["big"] < 0.6
+    with _pt.raises(ValueError, match="temperature"):
+        temperature_mix(df, temperature=0.0)
