@@ -145,6 +145,18 @@ def _op_mix_corpus(spark, df, cfg):
     return sampling.mix_corpus(df, targets, **cfg)
 
 
+def _op_source_caps(spark, df, cfg):
+    from graph_data_science_spark.pipeline import sampling
+
+    return sampling.source_caps(df, **cfg)
+
+
+def _op_temperature_mix(spark, df, cfg):
+    from graph_data_science_spark.pipeline import sampling
+
+    return sampling.temperature_mix(df, **cfg)
+
+
 def _op_weighted_sample(spark, df, cfg):
     from graph_data_science_spark.pipeline import sampling
 
@@ -377,6 +389,8 @@ OPERATORS = {
     "language_id": _op_language_id,
     "token_stats": _op_token_stats,
     "mix_corpus": _op_mix_corpus,
+    "source_caps": _op_source_caps,
+    "temperature_mix": _op_temperature_mix,
     "weighted_sample": _op_weighted_sample,
     "quantize_embeddings": _op_quantize,
     "ann_topk": _op_ann_topk,
