@@ -582,3 +582,265 @@ class GdsEngine:
             "driverMemory": _get("spark.driver.memory"),
             "sessionTimeZone": _get("spark.sql.session.timeZone"),
         }
+
+    # -- round-4 facade completion: every remaining algorithm ------------
+    def katz(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.alpha.katz analog (attenuated path counting)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.pagerank import KatzConfig, katz
+
+        def run():
+            res = katz(self.spark, graph, KatzConfig(**cfg))
+            return res.state, {
+                "ran_iterations": res.ran_iterations,
+                "did_converge": res.did_converge,
+            }
+
+        return self._proc(graph, run, "score")
+
+    def leiden(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.leiden analog (local moving + refinement + coarsening)."""
+        graph = self._filtered(graph, cfg)
+        min_size = cfg.pop("min_community_size", None)
+        from graph_data_science_spark.algorithms.leiden import LeidenConfig, leiden
+
+        def run():
+            res = leiden(self.spark, graph, LeidenConfig(**cfg))
+            return (
+                self._min_size_filter(res.communities, "community", min_size),
+                {"modularity": res.modularity, "levels": res.levels},
+            )
+
+        return self._proc(graph, run, "community")
+
+    def knn(self, graph: Graph, node_properties: str = "embedding", **cfg) -> ProcResult:
+        """gds.knn analog over a node property column."""
+        from graph_data_science_spark.algorithms.knn import knn
+
+        if graph.nodes is None:
+            raise ValueError("knn requires a graph with node properties")
+
+        def run():
+            return (
+                knn(
+                    self.spark, graph.nodes, id_col="id",
+                    vec_col=node_properties, **cfg,
+                ),
+                {},
+            )
+
+        return self._proc(graph, run, "similarity")
+
+    def node2vec(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.beta.node2vec analog (p/q walks + SGNS)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.node2vec import node2vec
+
+        return self._proc(
+            graph, lambda: (node2vec(self.spark, graph, **cfg), {}), "embedding"
+        )
+
+    def random_walks(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.beta.randomWalk analog: (walk_id, step, id) rows."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.randomwalk import random_walks
+
+        return self._proc(
+            graph, lambda: (random_walks(self.spark, graph, **cfg), {}), "id"
+        )
+
+    def shortest_path_dijkstra(self, graph: Graph, source: int, **cfg) -> ProcResult:
+        """gds.shortestPath.dijkstra (single-source) analog."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.paths import sssp
+
+        return self._proc(
+            graph,
+            lambda: (sssp(self.spark, graph, source, **cfg), {}),
+            "distance",
+        )
+
+    def shortest_path_astar(
+        self, graph: Graph, source: int, target: int, heuristic, **cfg
+    ) -> ProcResult:
+        """gds.shortestPath.astar analog: one (cost, path) row."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.paths import astar
+
+        def run():
+            cost, path = astar(
+                self.spark, graph, source, target, heuristic, **cfg
+            )
+            df = self.spark.createDataFrame(
+                [(0, float(cost) if cost is not None else None, path)],
+                "index long, cost double, path array<long>",
+            )
+            return df, {"found": cost is not None}
+
+        return self._proc(graph, run, "cost")
+
+    def shortest_path_yens(
+        self, graph: Graph, source: int, target: int, k: int, **cfg
+    ) -> ProcResult:
+        """gds.shortestPath.yens analog: k (index, cost, path) rows."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.paths import yens
+
+        def run():
+            paths = yens(self.spark, graph, source, target, k, **cfg)
+            df = self.spark.createDataFrame(
+                [(i, float(c), p) for i, (c, p) in enumerate(paths)] or [],
+                "index long, cost double, path array<long>",
+            )
+            return df, {"n_paths": len(paths)}
+
+        return self._proc(graph, run, "cost")
+
+    def spanning_tree(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.spanningTree analog (Borůvka forest edges)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.spanning import spanning_forest
+
+        return self._proc(
+            graph, lambda: (spanning_forest(self.spark, graph, **cfg), {}), "weight"
+        )
+
+    def k_spanning_tree(self, graph: Graph, k: int, **cfg) -> ProcResult:
+        """gds.alpha.kSpanningTree analog: (id, component)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.spanning import k_spanning_tree
+
+        return self._proc(
+            graph,
+            lambda: (k_spanning_tree(self.spark, graph, k, **cfg), {}),
+            "component",
+        )
+
+    def topological_sort(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.dag.topologicalSort analog: (id, level) rows."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.toposort import topological_sort
+
+        def run():
+            res = topological_sort(self.spark, graph, **cfg)
+            return res.order, {
+                "n_sorted": res.n_sorted, "n_cyclic": res.n_cyclic,
+                "rounds": res.rounds,
+            }
+
+        return self._proc(graph, run, "level")
+
+    def dag_longest_path(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.dag.longestPath analog: (id, level, dist) rows."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.toposort import longest_path
+
+        def run():
+            res = longest_path(self.spark, graph, **cfg)
+            return res.order, {
+                "n_sorted": res.n_sorted, "n_cyclic": res.n_cyclic,
+            }
+
+        return self._proc(graph, run, "dist")
+
+    def influence_maximization_celf(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.beta.influenceMaximization.celf analog: (id, spread)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.celf import celf
+
+        def run():
+            seeds = celf(self.spark, graph, **cfg)
+            df = self.spark.createDataFrame(
+                [(int(n), float(s)) for n, s in seeds] or [],
+                "id long, spread double",
+            )
+            return df, {"n_seeds": len(seeds)}
+
+        return self._proc(graph, run, "spread")
+
+    def influence_maximization_greedy(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.alpha.influenceMaximization.greedy analog."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.celf import greedy
+
+        def run():
+            seeds = greedy(self.spark, graph, **cfg)
+            df = self.spark.createDataFrame(
+                [(int(n), float(s)) for n, s in seeds] or [],
+                "id long, spread double",
+            )
+            return df, {"n_seeds": len(seeds)}
+
+        return self._proc(graph, run, "spread")
+
+    def max_k_cut(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.alpha.maxkcut analog: (id, community)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
+
+        def run():
+            res = approx_max_k_cut(self.spark, graph, **cfg)
+            return res.assignments, {"cut_weight": res.cut_weight}
+
+        return self._proc(graph, run, "community")
+
+    def hdbscan(self, graph: Graph, epsilon: float, **cfg) -> ProcResult:
+        """gds.hdbscan analog over a node embedding property."""
+        from graph_data_science_spark.algorithms.hdbscan import hdbscan
+
+        if graph.nodes is None:
+            raise ValueError("hdbscan requires a graph with node properties")
+
+        def run():
+            res = hdbscan(self.spark, graph.nodes, epsilon, **cfg)
+            return res.clusters, {"n_clusters": res.n_clusters}
+
+        return self._proc(graph, run, "cluster")
+
+    def bfs(self, graph: Graph, source: int, **cfg) -> ProcResult:
+        """gds.bfs analog: (id, visit_order)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.traverse import bfs
+
+        return self._proc(
+            graph,
+            lambda: (bfs(self.spark, graph, source, **cfg), {}),
+            "visit_order",
+        )
+
+    def dfs(self, graph: Graph, source: int, **cfg) -> ProcResult:
+        """gds.dfs analog: (id, visit_order)."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.traverse import dfs
+
+        return self._proc(
+            graph,
+            lambda: (dfs(self.spark, graph, source, **cfg), {}),
+            "visit_order",
+        )
+
+    def graph_sample_rwr(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.alpha.graph.sample.rwr analog: sampled edge rows."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.graphsample import sample_rwr
+
+        def run():
+            res = sample_rwr(self.spark, graph, **cfg)
+            return res.graph.edges, {
+                "n_nodes": res.n_nodes, "n_edges": res.n_edges,
+            }
+
+        return self._proc(graph, run, "dst")
+
+    def graph_sample_cnarw(self, graph: Graph, **cfg) -> ProcResult:
+        """gds.graph.sample.cnarw analog: sampled edge rows."""
+        graph = self._filtered(graph, cfg)
+        from graph_data_science_spark.algorithms.graphsample import sample_cnarw
+
+        def run():
+            res = sample_cnarw(self.spark, graph, **cfg)
+            return res.graph.edges, {
+                "n_nodes": res.n_nodes, "n_edges": res.n_edges,
+            }
+
+        return self._proc(graph, run, "dst")

@@ -240,6 +240,16 @@ _REGISTRY = {
         hits, scc, fastrp,
     )
 }
+# facade-name aliases (GdsEngine._proc routes by method name)
+_REGISTRY.update(
+    {
+        "shortest_path_dijkstra": sssp,
+        "bellman_ford": sssp,
+        "dfs": bfs,
+        "graphsage": fastrp,
+        "node2vec": fastrp,
+    }
+)
 
 
 def estimate(algo: str, n: int, m: int, **cfg) -> MemoryEstimation:

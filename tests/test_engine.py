@@ -265,3 +265,36 @@ def test_graph_size_of(spark):
         out["detail"]["relationships"] + out["detail"]["nodes"]
     )
     assert out["totalBytes"] > 0
+
+
+def test_round4_facade_procs_run(spark, gds):
+    """Facade completion: every remaining algorithm callable through
+    gds.<proc>() with stream/stats semantics intact."""
+    g = gds.graph.create("eg_r4", edge_df(spark, PAGERANK_EDGES))
+
+    assert gds.katz(g, max_iterations=5).stream().count() > 0
+    ld = gds.leiden(g)
+    assert ld.stream().count() > 0 and "modularity" in ld.stats()
+    assert gds.shortest_path_dijkstra(g, source=0).stream().count() > 0
+    ts = gds.topological_sort(g)
+    assert {"id", "level"} <= set(ts.stream().columns)
+    sp = gds.spanning_tree(g).stream()
+    assert {"src", "dst", "weight"} <= set(sp.columns)
+    kc = gds.k_spanning_tree(g, k=2).stream()
+    assert kc.select("component").distinct().count() >= 2
+    bf = gds.bfs(g, source=0).stream()
+    assert bf.where("id = 0").first()["visit_order"] == 0
+    mk = gds.max_k_cut(g, k=2, max_iterations=2)
+    assert mk.stream().count() > 0 and mk.stats()["cut_weight"] >= 0
+    rw = gds.random_walks(g, walk_length=4, walks_per_node=1).stream()
+    assert {"walk_id", "step", "id"} <= set(rw.columns)
+    sr = gds.graph_sample_rwr(g, sampling_ratio=0.5)
+    assert sr.stream().count() > 0 and sr.stats()["n_nodes"] > 0
+    ce = gds.influence_maximization_celf(g, k=2, monte_carlo_sims=2)
+    assert ce.stream().count() == 2
+    # listed automatically
+    names = {r["name"] for r in gds.list().collect()}
+    for p in ("gds.katz", "gds.leiden", "gds.spanning_tree",
+              "gds.shortest_path_dijkstra", "gds.topological_sort",
+              "gds.hdbscan", "gds.knn", "gds.bfs", "gds.dfs"):
+        assert p in names, p
