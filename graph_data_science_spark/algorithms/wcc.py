@@ -49,6 +49,15 @@ class WccConfig:
     #: doubling_from_iteration + O(log n) rounds instead of
     #: O(diameter). The fixpoint is identical either way.
     doubling_from_iteration: int = 4
+    #: shortcut applications per doubling superstep (label-graph
+    #: depth contracts 2^k per round). Graph-shape dependent,
+    #: measured both ways: a pure 50k chain converges 19 -> 12
+    #: rounds and 2x faster at k=2, but the hub-heavy transcript
+    #: scaling table shows IDENTICAL per-round active decay at k=2
+    #: (the limiter there is per-edge message propagation, not label
+    #: chain depth) while every doubling round costs ~2x — so the
+    #: default stays 1; raise it only for long-path graphs
+    shortcut_applications: int = 1
 
 
 class _WccComputation(PregelComputation):
@@ -84,17 +93,24 @@ class _WccComputation(PregelComputation):
             ).alias("_new"),
         )
         if self.cfg.path_doubling and iteration >= self.cfg.doubling_from_iteration:
-            # pointer-doubling shortcut: learn the label of my label
-            labels = st.select(
-                F.col("id").alias("_lid"), F.col("_new").alias("_llabel")
-            )
-            st = st.join(labels, st._new == labels._lid, "left").select(
-                "id",
-                "component",
-                F.least(
-                    F.col("_new"), F.coalesce(F.col("_llabel"), F.col("_new"))
-                ).alias("_new"),
-            )
+            # pointer-doubling shortcut, applied `shortcut_applications`
+            # times per superstep: each application halves the label-
+            # graph depth, so k applications contract depth 2^k per
+            # round — on long-chain graphs total rounds drop from
+            # ~log2(depth) to ~log2(depth)/k while each tail round
+            # (whose cost is the full-state join, not the tiny
+            # frontier) stays the same order
+            for _ in range(max(1, self.cfg.shortcut_applications)):
+                labels = st.select(
+                    F.col("id").alias("_lid"), F.col("_new").alias("_llabel")
+                )
+                st = st.join(labels, st._new == labels._lid, "left").select(
+                    "id",
+                    "component",
+                    F.least(
+                        F.col("_new"), F.coalesce(F.col("_llabel"), F.col("_new"))
+                    ).alias("_new"),
+                )
         return st.select(
             "id",
             F.col("_new").alias("component"),

@@ -96,3 +96,19 @@ def test_wcc_superstep_metrics_counts(spark, catalog):
         assert 0 <= m["active"] <= n
     assert res.metrics[-1]["active"] == 0
     assert res.metrics[0]["active"] > 0
+
+
+def test_shortcut_applications_chain_equivalence(spark, catalog):
+    """k=2 shortcut applications converge in fewer rounds on a chain
+    with an identical fixpoint (the knob's long-path use case)."""
+    from graph_data_science_spark.algorithms.wcc import WccConfig, wcc
+
+    pairs = [(i, i + 1) for i in range(400)]
+    g = catalog.create("wcc_chain_k", edge_df(spark, pairs))
+    r1 = wcc(spark, g, WccConfig(shortcut_applications=1))
+    r2 = wcc(spark, g, WccConfig(shortcut_applications=2))
+    c1 = {r["id"]: r["component"] for r in r1.state.collect()}
+    c2 = {r["id"]: r["component"] for r in r2.state.collect()}
+    assert c1 == c2
+    assert set(c1.values()) == {0}
+    assert r2.ran_iterations < r1.ran_iterations
