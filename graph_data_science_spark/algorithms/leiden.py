@@ -336,14 +336,18 @@ def leiden(
             init=init,
             gamma=cfg.gamma,
         )
-        if init is not None:
+        if init is not None and (prev_q is None or _q <= prev_q + cfg.tolerance):
             # seeded local moving is the Leiden prescription, but the
             # greedy parity sweep can trap in the seed's local optimum
             # (measured on the hub-dominated user-tool graph: seeded
             # level 2 stalls at the seed's Q while a singleton restart
             # reaches the all-in-one partition). Coarse levels are
-            # small, so also run the unseeded sweep and keep the
-            # better of the two — never worse than either start.
+            # small, so when the seeded sweep STALLS (no tolerance-
+            # level improvement over the previous level — the trap
+            # signature) also run the unseeded sweep and keep the
+            # better of the two; a seeded sweep that already improved
+            # keeps its result and skips the restart's full extra
+            # sweep cost.
             comm_u, q_u, _sw2, _cv2 = _local_moving_full(
                 level_edges, m2, cfg.max_iterations, gamma=cfg.gamma
             )
