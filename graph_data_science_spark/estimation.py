@@ -240,6 +240,45 @@ _REGISTRY = {
         hits, scc, fastrp,
     )
 }
+def hdbscan(n: int, m: int, **cfg) -> MemoryEstimation:
+    k = int(cfg.get("k", 5))
+    return MemoryEstimation("hdbscan", 0, [
+        MemoryEstimation("kNN / candidate pairs", n * k * _row(3)),
+        MemoryEstimation("mutual-reachability edges", n * k * _row(3)),
+        MemoryEstimation("component state (wcc)", n * _row(3)),
+    ])
+
+
+def biconnectivity(n: int, m: int, **cfg) -> MemoryEstimation:
+    import math as _math
+
+    levels = max(1, int(_math.ceil(_math.log2(max(2, n)))))
+    return MemoryEstimation("biconnectivity", 0, [
+        MemoryEstimation("euler arcs (2 per tree edge)", 2 * n * _row(5)),
+        MemoryEstimation("dyadic interval tables", n * levels * _row(3)),
+        MemoryEstimation("ancestor lifting levels", n * levels * _row(4)),
+        MemoryEstimation("aux-graph wcc state", n * _row(3)),
+    ])
+
+
+def steiner_tree(n: int, m: int, **cfg) -> MemoryEstimation:
+    t = sssp(n, m)
+    t.name = "steiner_tree"
+    t.children.append(MemoryEstimation("backtrack frontier + tree edges", n * _row(3)))
+    return t
+
+
+def hashgnn(n: int, m: int, **cfg) -> MemoryEstimation:
+    dim = int(cfg.get("embedding_density", cfg.get("dim", 64)))
+    per_vec = ROW_OVERHEAD + dim * WORD
+    return MemoryEstimation("hashgnn", 0, [
+        MemoryEstimation("binary embedding state (2 generations)", 2 * n * per_vec),
+        MemoryEstimation("neighbor min-hash shuffle", m * per_vec),
+    ])
+
+
+_REGISTRY.update({fn.__name__: fn for fn in (hdbscan, biconnectivity, steiner_tree, hashgnn)})
+
 # facade-name aliases (GdsEngine._proc routes by method name)
 _REGISTRY.update(
     {
@@ -248,6 +287,8 @@ _REGISTRY.update(
         "dfs": bfs,
         "graphsage": fastrp,
         "node2vec": fastrp,
+        "bridges": biconnectivity,
+        "articulation_points": biconnectivity,
     }
 )
 
