@@ -2140,7 +2140,7 @@ def _bpe_ctes(n: int, final_state: bool) -> list[str]:
     for r in range(1, n + 1):
         prev = f"s{r - 1}"
         ctes.append(
-            f"p{r} AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, SUM(cnt) AS n "
+            f"p{r} AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, CAST(SUM(cnt) AS BIGINT) AS n "
             f"FROM (SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p "
             f"FROM {prev} WHERE len(syms) >= 2) q GROUP BY a, b)"
         )
@@ -2174,7 +2174,7 @@ def _bpe_encode_sql(n: int) -> str:
         + ",\n".join(_bpe_ctes(n, True))
         + f"""
 SELECT d.doc_id AS id, COUNT(*) AS n_tokens,
-       SUM(len(s.syms)) AS n_bpe_tokens
+       CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
 FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
       FROM documents) d
 JOIN s{n} s USING (word)
@@ -4340,19 +4340,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scale_stdscore vs scale_minmax) sit at the tail so a time/count
     # cutoff costs the least evidence.
     return {
-        # Round-4 rotation: the driver's budgeted sweep checks the
-        # HEAD of this dict, so the queries with no green row in any
-        # committed CORRECTNESS_r0{1,2,3}.json come first — judge-
-        # named round-3 flagships leading, the rest cheapest-first
-        # (measured sf0.01 gate seconds) so a time-budgeted sweep
-        # evidences the most queries; already-evidenced queries last.
+        # Round-5 rotation: the 3 r4 hash-red queries (HUGEINT oracle
+        # casts now fixed) lead, then the 45 never-driver-evidenced
+        # queries cheapest-first (measured sf0.01 gate seconds from
+        # CORRECTNESS_LOCAL_r4.json) so the 50-query budget closes the
+        # evidence gap entirely; queries already driver-green in some
+        # CORRECTNESS_r0{1..4}.json sit at the tail in their previous
+        # deliberate order.
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "shard_corpus": _q_shard_corpus,
+        "jl_project": _q_jl_project,
+        "table_profile": _q_table_profile,
+        "degree_distribution": _q_degree_distribution,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "render_chat": _q_render_chat,
+        "dedup_spans": _q_dedup_spans,
+        "corpus_divergence": _q_corpus_divergence,
+        "graph_density": _q_graph_density,
+        "mix_corpus": _q_mix_corpus,
+        "reciprocity": _q_reciprocity,
+        "sample_token_budget": _q_sample_token_budget,
+        "ann_pearson_topk": _q_ann_pearson,
+        "graph_validate": _q_graph_validate,
+        "engine_stats": _q_engine_stats,
+        "engine_write": _q_engine_write,
+        "char_entropy": _q_char_entropy,
+        "knn_label_agreement": _q_knn_label_agreement,
+        "k_core": _q_k_core,
+        "hard_negatives": _q_hard_negatives,
+        "lm_perplexity": _q_lm_perplexity,
+        "binary_auc": _q_binary_auc,
+        "sft_pipeline": _q_sft_pipeline,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "ngram_diversity": _q_ngram_diversity,
+        "quality_classifier": _q_quality_classifier,
+        "dsir_weights": _q_dsir_weights,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "assortativity": _q_assortativity,
+        "streaming_session_stats": _q_streaming_session_stats,
+        "verify_candidates": _q_verify_candidates,
+        "triangles": _q_triangles,
+        "neighborhood_function": _q_neighborhood_function,
+        "closeness_wasserman_faust": _q_closeness_wf,
+        "generator": _q_generator,
+        "dedup_clusters": _q_dedup_clusters,
+        "all_shortest_paths": _q_all_shortest_paths,
+        "streaming_edge_rates": _q_streaming_edge_rates,
+        "pca_embeddings": _q_pca_embeddings,
+        "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
+        "split_relationships": _q_split_relationships,
+        "semantic_dedup": _q_semantic_dedup,
+        "linkpred_scores": _q_linkpred_scores,
+        "csv_roundtrip": _q_csv_roundtrip,
         "bridges": _q_bridges,
         "articulation_points": _q_articulation_points,
         "hashgnn": _q_hashgnn,
         "leiden": _q_leiden,
         "hdbscan": _q_hdbscan,
-        "bpe_train": _q_bpe_train,
-        "bpe_encode": _q_bpe_encode,
         "kge_transe": _q_kge_transe,
         "steiner_tree": _q_steiner_tree,
         "bellman_ford": _q_bellman_ford,
@@ -4385,7 +4432,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_l2norm": _q_scale_l2norm,
         "freq_spectrum": _q_freq_spectrum,
         "corpus_stats": _q_corpus_stats,
-        "shard_corpus": _q_shard_corpus,
         "stratified_sample": _q_stratified_sample,
         "powerlaw_fit": _q_powerlaw_fit,
         "time_rollup": _q_time_rollup,
@@ -4396,51 +4442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "ann_euclidean_topk": _q_ann_euclidean,
-        "render_chat": _q_render_chat,
-        "degree_distribution": _q_degree_distribution,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "jl_project": _q_jl_project,
-        "table_profile": _q_table_profile,
-        "corpus_divergence": _q_corpus_divergence,
-        "graph_density": _q_graph_density,
-        "dedup_spans": _q_dedup_spans,
-        "mix_corpus": _q_mix_corpus,
-        "char_entropy": _q_char_entropy,
-        "graph_validate": _q_graph_validate,
-        "reciprocity": _q_reciprocity,
-        "sample_token_budget": _q_sample_token_budget,
-        "engine_write": _q_engine_write,
-        "k_core": _q_k_core,
-        "hard_negatives": _q_hard_negatives,
-        "engine_stats": _q_engine_stats,
-        "binary_auc": _q_binary_auc,
-        "knn_label_agreement": _q_knn_label_agreement,
-        "ngram_diversity": _q_ngram_diversity,
-        "lm_perplexity": _q_lm_perplexity,
-        "ann_pearson_topk": _q_ann_pearson,
-        "pca_embeddings": _q_pca_embeddings,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "quality_classifier": _q_quality_classifier,
-        "dsir_weights": _q_dsir_weights,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "assortativity": _q_assortativity,
-        "closeness_wasserman_faust": _q_closeness_wf,
-        "streaming_edge_rates": _q_streaming_edge_rates,
-        "triangles": _q_triangles,
-        "neighborhood_function": _q_neighborhood_function,
-        "generator": _q_generator,
-        "verify_candidates": _q_verify_candidates,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "sft_pipeline": _q_sft_pipeline,
-        "all_shortest_paths": _q_all_shortest_paths,
-        "streaming_session_stats": _q_streaming_session_stats,
-        "dedup_clusters": _q_dedup_clusters,
-        "all_shortest_paths_weighted": _q_all_shortest_paths_weighted,
-        "split_relationships": _q_split_relationships,
-        "semantic_dedup": _q_semantic_dedup,
-        "linkpred_scores": _q_linkpred_scores,
-        "csv_roundtrip": _q_csv_roundtrip,
         "transcripts": _q_transcripts,
         "conversation_stats": _q_conversation_stats,
         "conversation_dedup": _q_conversation_dedup,
@@ -5016,7 +5017,7 @@ d AS (
 )
 SELECT CAST(LEAST(FLOOR(pos * 8), 7) AS INTEGER) AS shard,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM d GROUP BY 1
 """,
         "weighted_sample": rf"""

@@ -2,8 +2,11 @@
 
 Runs every ``queries()`` entry at sf0.01 on Spark AND its
 ``oracle_sql()`` on DuckDB, compares row count, schema (column
-names), and order-insensitive values (columns sorted by name, rows
-sorted). Usage:
+names), declared column TYPES (serialization families — catches
+DuckDB's integer-SUM → HUGEINT promotion that a plain Python-int
+comparison cannot see but the driver's typed hasher does), and
+order-insensitive values (columns sorted by name, rows sorted).
+Usage:
 
     python tools/check_oracle.py [query ...]
 """
@@ -27,6 +30,53 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def type_family(t: str) -> str:
+    """Collapse a type name (Spark dtype or DuckDB declared type) to the
+    serialization family the driver's typed hasher distinguishes.
+
+    The one family deliberately NOT merged into ``int`` is DuckDB's
+    HUGEINT (int128, the implicit promotion of an uncast integer SUM)
+    and DECIMAL — both serialize differently from Spark's BIGINT in the
+    driver's hash even when the values are equal, which is exactly the
+    r4 ``bpe_train``/``bpe_encode``/``shard_corpus`` failure mode.
+    """
+    t = t.strip().lower()
+    if t.startswith(("decimal", "numeric")):
+        return "decimal"
+    if t in ("hugeint", "int128", "uhugeint"):
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "short", "byte", "utinyint", "usmallint", "uinteger",
+             "ubigint", "int1", "int2", "int4", "int8"):
+        return "int"
+    if t in ("float", "double", "real", "float4", "float8"):
+        return "float"
+    if t in ("string", "varchar", "text", "char", "bpchar"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "array"
+    if t.startswith(("map", "struct", "row")):
+        return "nested"
+    if t.startswith(("timestamp", "datetime")):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    return t
+
+
+def type_mismatches(scols, stypes, dcols, dtypes):
+    """Name→family comparison; returns list of (col, spark, duckdb)."""
+    sfam = {c: type_family(t) for c, t in zip(scols, stypes)}
+    dfam = {c: type_family(t) for c, t in zip(dcols, dtypes)}
+    return [
+        (c, sfam[c], dfam[c])
+        for c in sorted(set(sfam) & set(dfam))
+        if sfam[c] != dfam[c]
+    ]
 
 
 def norm_cell(v):
@@ -55,6 +105,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: check_oracle.py [--json OUT.json] [query ...]")
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     only = set(argv)
@@ -70,13 +123,15 @@ def main() -> int:
     failures = []
 
     def record(name, *, rows_match, schema_match, hash_match, spark_rows,
-               oracle_rows, err, sec):
+               oracle_rows, err, sec, type_match=None, oracle_types=None):
         results[name] = {
             "rows_match": rows_match,
             "schema_match": schema_match,
+            "type_match": type_match,
             "hash_match": hash_match,
             "spark_rows": spark_rows,
             "oracle_rows": oracle_rows,
+            "oracle_types": oracle_types,
             "err": err,
             "spark_sec": round(sec, 2),
         }
@@ -88,6 +143,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
@@ -110,6 +166,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
@@ -118,21 +175,36 @@ def main() -> int:
                    spark_rows=len(srows), oracle_rows=None,
                    err=f"duckdb error: {exc}"[:500], sec=spark_s)
             continue
+        otypes = dict(zip(dcols, dtypes))
+        tmis = type_mismatches(scols, stypes, dcols, dtypes)
+        if tmis:
+            print(f"FAIL {name}: type mismatch (driver-hash-visible): {tmis}")
+            failures.append(name)
+            record(name, rows_match=len(srows) == len(drows),
+                   schema_match=sorted(scols) == sorted(dcols),
+                   type_match=False, hash_match=False,
+                   spark_rows=len(srows), oracle_rows=len(drows),
+                   oracle_types=otypes,
+                   err=f"type mismatch: {tmis}"[:500], sec=spark_s)
+            continue
         sn, sc = normalize(srows, scols)
         dn, dc = normalize(drows, dcols)
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duckdb={dc}")
             failures.append(name)
             record(name, rows_match=len(sn) == len(dn), schema_match=False,
-                   hash_match=False, spark_rows=len(sn), oracle_rows=len(dn),
+                   type_match=True, hash_match=False,
+                   spark_rows=len(sn), oracle_rows=len(dn),
+                   oracle_types=otypes,
                    err=f"columns spark={sc} duckdb={dc}"[:500], sec=spark_s)
             continue
         if len(sn) != len(dn):
             print(f"FAIL {name}: rowcount spark={len(sn)} duckdb={len(dn)}")
             failures.append(name)
-            record(name, rows_match=False, schema_match=True, hash_match=False,
+            record(name, rows_match=False, schema_match=True,
+                   type_match=True, hash_match=False,
                    spark_rows=len(sn), oracle_rows=len(dn),
-                   err="rowcount mismatch", sec=spark_s)
+                   oracle_types=otypes, err="rowcount mismatch", sec=spark_s)
             continue
         bad = None
         for i, (a, b) in enumerate(zip(sn, dn)):
@@ -144,14 +216,17 @@ def main() -> int:
             print(f"  spark : {bad[1]}")
             print(f"  duckdb: {bad[2]}")
             failures.append(name)
-            record(name, rows_match=True, schema_match=True, hash_match=False,
+            record(name, rows_match=True, schema_match=True,
+                   type_match=True, hash_match=False,
                    spark_rows=len(sn), oracle_rows=len(dn),
+                   oracle_types=otypes,
                    err=f"value diff at sorted-row {bad[0]}", sec=spark_s)
         else:
             print(f"PASS {name}: rows={len(sn)} [{spark_s:.1f}s]")
-            record(name, rows_match=True, schema_match=True, hash_match=True,
-                   spark_rows=len(sn), oracle_rows=len(dn), err=None,
-                   sec=spark_s)
+            record(name, rows_match=True, schema_match=True,
+                   type_match=True, hash_match=True,
+                   spark_rows=len(sn), oracle_rows=len(dn),
+                   oracle_types=otypes, err=None, sec=spark_s)
     print("----")
     if json_path:
         import datetime
