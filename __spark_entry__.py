@@ -6343,17 +6343,26 @@ WITH {USER_TOOL_PRELUDE.strip()},
 dims AS MATERIALIZED (
   SELECT (SELECT COUNT(*) FROM utverts) AS n,
          (SELECT COUNT(*) FROM ut) AS m
+),
+nspairs AS MATERIALIZED (
+  -- exact co-neighbor candidate pairs of the node_similarity
+  -- pre-flight (estimate_candidate_pairs): sum over shared targets
+  -- of indeg*(indeg-1) in the DIRECTED user->tool neighbor view
+  SELECT CAST(COALESCE(SUM(d * (d - 1)), 0) AS BIGINT) AS p
+  FROM (SELECT dst, COUNT(*) AS d FROM ut GROUP BY dst) t
 )
 -- closed-form mirrors of estimation.py: _row(f) = 16 + 8*f bytes;
 -- pagerank = vote(n//8+8) + state(40n) + msgs(32m) + layout(40m);
 -- wcc runs over 2m arcs with the 32n label-of-label shortcut;
--- node_similarity = neighbor(32m) + pairs(160m) + topk(400n) @ k=10
+-- node_similarity = neighbor(32m) + EXACT pairs(40p, from the
+-- engine's estimate_extras pre-flight) + topk(400n) @ k=10
 SELECT 'pagerank' AS algorithm, n AS node_count, m AS relationship_count,
        (n // 8 + 8) + 40 * n + 32 * m + 40 * m AS total_bytes FROM dims
 UNION ALL
 SELECT 'wcc', n, m, (n // 8 + 8) + 40 * n + 32 * n + 64 * m + 80 * m FROM dims
 UNION ALL
-SELECT 'node_similarity', n, m, 400 * n + 192 * m FROM dims
+SELECT 'node_similarity', n, m, 400 * n + 32 * m + 40 * (SELECT p FROM nspairs)
+FROM dims
 """,
         "engine_stats": f"""
 WITH {USER_TOOL_PRELUDE.strip()},

@@ -66,15 +66,26 @@ class NodeSimilarityConfig:
     #: never materialize unfiltered pairs.
     source_filter: object = None
     target_filter: object = None
+    #: pre-flight candidate-pair guard (the reference's
+    #: reject-before-execution contract, proc/common/.../
+    #: ProcedureExecutor.java:110, applied to the one term that is
+    #: quadratic in the DATA: the co-neighbor join generates
+    #: sum_dst indeg*(indeg-1) pair rows, which fixed-vocab hub
+    #: targets blow past any linear bound). When the exact count
+    #: (one aggregate over the already-cached edge table) exceeds
+    #: pair_guard_factor * |E|, a warning with the measured numbers
+    #: and the mitigation knobs is emitted; if max_candidate_pairs
+    #: is also >0 and exceeded, the run is REJECTED before the pair
+    #: join is built. pair_guard_factor <= 0 disables the pre-flight.
+    pair_guard_factor: float = 32.0
+    max_candidate_pairs: int = 0
 
 
-def node_similarity(
-    spark: SparkSession,
-    graph: Graph,
-    config: NodeSimilarityConfig | None = None,
-) -> DataFrame:
-    """(node1, node2, similarity, rank) — top-K similar per node."""
-    cfg = config or NodeSimilarityConfig()
+def _eligible_edges(graph: Graph, cfg: NodeSimilarityConfig):
+    """(edges, deg, eligible, e): the deduped neighbor table, per-source
+    degrees, the degree-window-filtered sources, and the neighbor rows
+    of eligible sources — shared by the algorithm and the pre-flight
+    pair estimate so both see the identical candidate universe."""
     # the deduped neighbor table is read 4x (degree agg, hub agg,
     # pair join both sides) — persist it once on the graph handle
     # (the CSR-build analog, shared across runs on the same graph)
@@ -100,6 +111,95 @@ def node_similarity(
     if cfg.upper_degree_cutoff > 0:
         eligible = eligible.where(F.col("deg") <= cfg.upper_degree_cutoff)
     e = edges.join(eligible.select("src"), "src", "left_semi")
+    return edges, deg, eligible, e
+
+
+def estimate_candidate_pairs(
+    graph: Graph, config: NodeSimilarityConfig | None = None
+) -> dict:
+    """EXACT candidate-pair count of the co-neighbor join, from one
+    aggregate over shared-target in-degrees — the pre-flight the
+    reference's reject-before-execution contract needs for the one
+    node-similarity term that is quadratic in the data (sum over
+    shared targets of indeg*(indeg-1) ordered pairs, self-pairs
+    excluded), plus the facts a user needs to pick a mitigation:
+    |E| after eligibility, the hottest shared target's in-degree,
+    and the pair mass concentrated in targets above hub_threshold."""
+    cfg = config or NodeSimilarityConfig()
+    _, _, _, e = _eligible_edges(graph, cfg)
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_d"))
+    hub_thr = cfg.hub_threshold if cfg.hub_threshold > 0 else None
+    row = ind.agg(
+        F.coalesce(
+            F.sum(F.col("_d") * (F.col("_d") - 1)), F.lit(0)
+        ).alias("pairs"),
+        F.coalesce(F.sum("_d"), F.lit(0)).alias("edges"),
+        F.coalesce(F.max("_d"), F.lit(0)).alias("max_shared_degree"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_d") > (hub_thr or 2**31), F.col("_d") * (F.col("_d") - 1)
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("hub_pairs"),
+    ).collect()[0]
+    return {
+        "candidate_pairs": int(row["pairs"]),
+        "edge_count": int(row["edges"]),
+        "max_shared_degree": int(row["max_shared_degree"]),
+        "hub_pairs": int(row["hub_pairs"]),
+        "hub_threshold": hub_thr,
+    }
+
+
+def _preflight_pair_guard(graph: Graph, cfg: NodeSimilarityConfig) -> None:
+    """Warn (or reject, when max_candidate_pairs is set) BEFORE the
+    pair join is built, when the exact candidate-pair count dwarfs
+    |E| — the ProcedureExecutor.java:110 sudo-check applied to the
+    operator that measured ~65x wall at 10x data through fixed-vocab
+    hubs. Cost: one aggregate over the cached edge table."""
+    if cfg.pair_guard_factor <= 0 and cfg.max_candidate_pairs <= 0:
+        return
+    est = estimate_candidate_pairs(graph, cfg)
+    pairs, edges = est["candidate_pairs"], est["edge_count"]
+    if cfg.max_candidate_pairs > 0 and pairs > cfg.max_candidate_pairs:
+        raise RuntimeError(
+            f"node_similarity pre-flight: {pairs:,} candidate pairs exceed "
+            f"max_candidate_pairs={cfg.max_candidate_pairs:,} "
+            f"(|E|={edges:,}, hottest shared target in-degree "
+            f"{est['max_shared_degree']:,}). Raise max_candidate_pairs, "
+            "shrink neighborhoods (degree_cutoff / upper_degree_cutoff), "
+            "or switch to the approximate path "
+            "(pipeline.dedup.minhash_lsh_candidates)."
+        )
+    threshold = cfg.pair_guard_factor * max(edges, 1)
+    if cfg.pair_guard_factor > 0 and pairs > threshold and pairs > 1_000_000:
+        import warnings
+
+        warnings.warn(
+            f"node_similarity: co-neighbor join will generate {pairs:,} "
+            f"candidate pairs ({pairs / max(edges, 1):,.0f}x the "
+            f"{edges:,} eligible edges; hottest shared target in-degree "
+            f"{est['max_shared_degree']:,}, {est['hub_pairs']:,} pairs "
+            f"from targets above hub_threshold={est['hub_threshold']}). "
+            "The plan is skew-safe but the work is quadratic in the "
+            "data — consider degree_cutoff / upper_degree_cutoff to "
+            "shrink neighborhoods, max_candidate_pairs to make this a "
+            "hard reject, or the approximate MinHash-LSH path.",
+            stacklevel=3,
+        )
+
+
+def node_similarity(
+    spark: SparkSession,
+    graph: Graph,
+    config: NodeSimilarityConfig | None = None,
+) -> DataFrame:
+    """(node1, node2, similarity, rank) — top-K similar per node."""
+    cfg = config or NodeSimilarityConfig()
+    _preflight_pair_guard(graph, cfg)
+    edges, deg, eligible, e = _eligible_edges(graph, cfg)
 
     wcols1 = [F.col("_w").alias("_w1")] if cfg.weighted else []
     wcols2 = [F.col("_w").alias("_w2")] if cfg.weighted else []

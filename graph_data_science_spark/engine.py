@@ -38,6 +38,10 @@ class ProcResult:
     _compute: Callable[[], tuple[DataFrame, dict]]
     value_column: str
     algo: str = "pregel"
+    #: optional pre-flight hook: () -> dict of measured estimation
+    #: inputs (e.g. node_similarity's exact candidate-pair count)
+    #: merged into the estimate() config and echoed in its output
+    estimate_extras: Callable[[], dict] | None = None
     _cached: tuple[DataFrame, dict] | None = field(default=None, repr=False)
 
     def _run(self) -> tuple[DataFrame, dict]:
@@ -106,11 +110,13 @@ class ProcResult:
 
         n = self.graph.node_count()
         m = self.graph.edge_count()
-        tree = estimation.estimate(self.algo, n, m, **cfg)
+        extras = self.estimate_extras() if self.estimate_extras else {}
+        tree = estimation.estimate(self.algo, n, m, **{**extras, **cfg})
         est = {
             "algorithm": self.algo,
             "node_count": n,
             "relationship_count": m,
+            **extras,
             "total_bytes": tree.total,
             "tree": tree.as_dict(),
         }
@@ -125,16 +131,30 @@ class GdsEngine:
         self.spark = spark
         self.graph = GraphCatalog()
 
-    def _proc(self, graph, fn, value_column) -> ProcResult:
+    def _proc(self, graph, fn, value_column, algo=None, estimate_extras=None) -> ProcResult:
         # the facade method's own name IS the algorithm name
         # (gds.pagerank -> "pagerank"), so every proc gets routed to
         # its estimation tree without threading a label through all
-        # ~50 call sites
-        import sys
+        # ~50 call sites. The derived name is VALIDATED against the
+        # estimation registry — a wrapped/renamed proc fails loudly
+        # here instead of silently falling back to the generic Pregel
+        # estimation shape; pass algo= explicitly from any wrapper.
+        if algo is None:
+            import sys
 
-        algo = sys._getframe(1).f_code.co_name
+            algo = sys._getframe(1).f_code.co_name
+        from graph_data_science_spark import estimation
+
+        if algo not in estimation.known_algorithms():
+            raise ValueError(
+                f"_proc derived algorithm name {algo!r} has no estimation "
+                "tree — pass algo= explicitly (wrappers and renames do not "
+                "inherit the facade method name), or register the proc in "
+                "estimation._REGISTRY"
+            )
         return ProcResult(
-            graph=graph, _compute=fn, value_column=value_column, algo=algo
+            graph=graph, _compute=fn, value_column=value_column, algo=algo,
+            estimate_extras=estimate_extras,
         )
 
     @staticmethod
@@ -382,16 +402,21 @@ class GdsEngine:
         graph = self._filtered(graph, cfg)
         from graph_data_science_spark.algorithms.similarity import (
             NodeSimilarityConfig,
+            estimate_candidate_pairs,
             node_similarity,
         )
 
+        ns_cfg = NodeSimilarityConfig(**cfg)
         return self._proc(
             graph,
-            lambda: (
-                node_similarity(self.spark, graph, NodeSimilarityConfig(**cfg)),
-                {},
-            ),
+            lambda: (node_similarity(self.spark, graph, ns_cfg), {}),
             "similarity",
+            algo="node_similarity",
+            # estimate() sizes the pair-shuffle term from the EXACT
+            # co-neighbor pair count (one aggregate) — the pre-flight
+            # the reference's reject-before-execution contract needs
+            # for the one term that is quadratic in the data
+            estimate_extras=lambda: estimate_candidate_pairs(graph, ns_cfg),
         )
 
     def fastrp(self, graph: Graph, **cfg) -> ProcResult:

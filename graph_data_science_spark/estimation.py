@@ -155,9 +155,21 @@ def degree_centrality(n: int, m: int, **cfg) -> MemoryEstimation:
 
 def node_similarity(n: int, m: int, **cfg) -> MemoryEstimation:
     top_k = int(cfg.get("top_k", 10))
+    # the pair-shuffle term is quadratic in the DATA (sum over shared
+    # targets of indeg^2), not in |E| — when the caller supplies the
+    # exact count (algorithms.similarity.estimate_candidate_pairs, one
+    # aggregate over the edge table), size the term exactly; otherwise
+    # fall back to the 4x|E| heuristic of a hub-free graph
+    pairs = int(cfg.get("candidate_pairs", 0))
+    pair_label = (
+        "pair shuffle (exact co-neighbor count)"
+        if pairs > 0
+        else "pair shuffle (co-neighbor join, hub-free heuristic)"
+    )
+    pair_bytes = pairs * _row(3) if pairs > 0 else m * _row(3) * 4
     return MemoryEstimation("node_similarity", 0, [
         MemoryEstimation("neighbor table (cached)", m * _row(2)),
-        MemoryEstimation("pair shuffle (co-neighbor join)", m * _row(3) * 4),
+        MemoryEstimation(pair_label, pair_bytes),
         MemoryEstimation("top-k result", n * top_k * _row(3)),
     ])
 
@@ -277,18 +289,119 @@ def hashgnn(n: int, m: int, **cfg) -> MemoryEstimation:
     ])
 
 
-_REGISTRY.update({fn.__name__: fn for fn in (hdbscan, biconnectivity, steiner_tree, hashgnn)})
+def msbfs(n: int, m: int, **cfg) -> MemoryEstimation:
+    """Multi-source BFS family (closeness/harmonic/all-shortest-paths):
+    the frontier carries (source, node) rows — bounded by the source
+    batch x reachable set, batched to bound the peak superstep."""
+    batch = int(cfg.get("source_batch", 64))
+    return MemoryEstimation("msbfs", 0, [
+        MemoryEstimation("visited (source x node) set", batch * n * _row(2)),
+        MemoryEstimation("frontier messages", batch * m * _row(2) // max(1, n // 64)),
+        MemoryEstimation("per-node distance sums", n * _row(3)),
+    ])
 
-# facade-name aliases (GdsEngine._proc routes by method name)
+
+def hyperanf(n: int, m: int, **cfg) -> MemoryEstimation:
+    """HyperANF (neighborhood function / effective diameter): one
+    HyperLogLog register set per node, two generations, plus the
+    register-merge shuffle."""
+    p = int(cfg.get("log2m", 10))
+    regs = ROW_OVERHEAD + (1 << p)
+    return MemoryEstimation("hyperanf", 0, [
+        MemoryEstimation("HLL register state (2 generations)", 2 * n * regs),
+        MemoryEstimation("register-merge shuffle", m * regs),
+    ])
+
+
+def modularity_optimization(n: int, m: int, **cfg) -> MemoryEstimation:
+    return MemoryEstimation("modularity_optimization", 0, [
+        MemoryEstimation("undirected weighted edges", 2 * m * _row(3)),
+        MemoryEstimation("community state", n * _row(3)),
+        MemoryEstimation("move-gain shuffle", 2 * m * _row(3)),
+    ])
+
+
+def k1coloring(n: int, m: int, **cfg) -> MemoryEstimation:
+    return _pregel_tree("k1coloring", n, 2 * m, state_fields=3)
+
+
+def sllpa(n: int, m: int, **cfg) -> MemoryEstimation:
+    k = int(cfg.get("max_communities", 5))
+    return _pregel_tree(
+        "sllpa", n, 2 * m, state_fields=2,
+        extra=[MemoryEstimation("per-node community memory", n * k * _row(2))],
+    )
+
+
+def conductance(n: int, m: int, **cfg) -> MemoryEstimation:
+    return MemoryEstimation("conductance", 0, [
+        MemoryEstimation("edge scan + boundary flags", 0),
+        MemoryEstimation("per-community aggregate", n * _row(3)),
+    ])
+
+
+def random_walks(n: int, m: int, **cfg) -> MemoryEstimation:
+    walks = int(cfg.get("walks_per_node", 10))
+    length = int(cfg.get("walk_length", 80))
+    return MemoryEstimation("random_walks", 0, [
+        MemoryEstimation("active walk state", n * walks * _row(4)),
+        MemoryEstimation("step join messages", n * walks * _row(3)),
+        MemoryEstimation("materialized walks", n * walks * (ROW_OVERHEAD + length * WORD)),
+    ])
+
+
+def spanning(n: int, m: int, **cfg) -> MemoryEstimation:
+    t = sssp(n, m)
+    t.name = "spanning_tree"
+    t.children.append(MemoryEstimation("tree edges + component state", n * _row(3)))
+    return t
+
+
+def influence_maximization(n: int, m: int, **cfg) -> MemoryEstimation:
+    mc = int(cfg.get("monte_carlo_simulations", 100))
+    return MemoryEstimation("influence_maximization", 0, [
+        MemoryEstimation("simulation reachability sketches", n * _row(2 + mc // 64)),
+        MemoryEstimation("spread frontier", m * _row(2) // max(1, n // 64)),
+        MemoryEstimation("marginal-gain heap (driver)", n * _row(2) // 64),
+    ])
+
+
+_REGISTRY.update({fn.__name__: fn for fn in (
+    hdbscan, biconnectivity, steiner_tree, hashgnn, msbfs, hyperanf,
+    modularity_optimization, k1coloring, sllpa, conductance, random_walks,
+    influence_maximization,
+)})
+
+# facade-name aliases (GdsEngine._proc routes by method name; every
+# facade proc MUST resolve here — engine._proc rejects unknown names
+# so a renamed/wrapped proc fails loudly instead of silently routing
+# to the generic Pregel shape. tests/test_engine.py enumerates
+# gds.list() against this registry.)
 _REGISTRY.update(
     {
         "shortest_path_dijkstra": sssp,
+        "shortest_path_astar": sssp,
+        "shortest_path_yens": sssp,
         "bellman_ford": sssp,
         "dfs": bfs,
         "graphsage": fastrp,
         "node2vec": fastrp,
         "bridges": biconnectivity,
         "articulation_points": biconnectivity,
+        "closeness_centrality": msbfs,
+        "harmonic_centrality": msbfs,
+        "all_shortest_paths": msbfs,
+        "neighborhood_function": hyperanf,
+        "effective_diameter": hyperanf,
+        "max_k_cut": label_propagation,
+        "spanning_tree": spanning,
+        "k_spanning_tree": spanning,
+        "topological_sort": bfs,
+        "dag_longest_path": sssp,
+        "influence_maximization_celf": influence_maximization,
+        "influence_maximization_greedy": influence_maximization,
+        "graph_sample_rwr": random_walks,
+        "graph_sample_cnarw": random_walks,
     }
 )
 
