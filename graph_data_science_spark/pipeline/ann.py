@@ -246,6 +246,47 @@ def _table_signatures(
     return sigs
 
 
+def _thin_hot_buckets(
+    index: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int,
+    op_name: str,
+) -> DataFrame:
+    """Thin every bucket of an ANN index to ~``cap`` member rows by
+    deterministic hash-sampling: a member survives iff
+    pmod(xxhash64(id, *bucket), size) < cap, i.e. with rate
+    cap/size — so expected thinned size == cap, the decision is
+    reproducible per (bucket, id), and the pass is one size aggregate
+    plus one filter join (no per-bucket sort: the hot bucket never
+    funnels into a single task the way a row_number window would).
+    The thin is LOGGED, never silent (the dedup-family convention,
+    pipeline/dedup.py ngram_jaccard_pairs)."""
+    sizes = index.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    hot = sizes.where(F.col("_bn") > cap)
+    stats = hot.agg(
+        F.count(F.lit(1)).alias("n_hot"),
+        F.coalesce(F.sum(F.col("_bn") - cap), F.lit(0)).alias("n_over"),
+        F.coalesce(F.max("_bn"), F.lit(0)).alias("max_bucket"),
+    ).collect()[0]
+    if stats["n_hot"] == 0:
+        return index
+    print(
+        f"{op_name}: thinning {stats['n_hot']} hot buckets to "
+        f"max_bucket_size={cap} (~{stats['n_over']} of their rows "
+        f"hash-sampled out; hottest bucket held {stats['max_bucket']})"
+    )
+    keep = F.pmod(
+        F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]),
+        F.col("_bn"),
+    ) < F.lit(cap)
+    return (
+        index.join(sizes, bucket_cols)
+        .where((F.col("_bn") <= cap) | keep)
+        .drop("_bn")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -258,11 +299,24 @@ def lsh_topk(
     vec_col: str = "embedding",
     method: str = "lcg",
     probe_hamming: int = 0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket(s); per-bucket exact cosine + window top-k. Recall rises
     with fewer planes (bigger buckets), more tables (independent
     chances), or ``probe_hamming`` — the classic knobs.
+
+    ``max_bucket_size`` caps the CORPUS side of each (table, bucket)
+    list: at fixed n_planes bucket occupancy grows linearly with the
+    corpus, so per-bucket candidate pairs grow quadratically — one
+    hot bucket is one task at 100 TB. Hot lists are THINNED to ~cap
+    rows by deterministic hash-sampling (keep iff
+    pmod(xxhash64(id, bucket), size) < cap) rather than dropped
+    whole, because for top-k search a query whose only bucket is hot
+    must still see candidates (dedup's drop-the-bucket semantics —
+    pipeline.dedup.minhash_lsh_candidates — would blind it); thinning
+    is also one filter, no per-bucket sort funnel. The thin is
+    logged, never silent; queries are never thinned. None disables.
 
     ``probe_hamming`` = multi-probe LSH: each query also probes every
     bucket within that Hamming distance of its signature (flipping
@@ -283,11 +337,17 @@ def lsh_topk(
         corpus, dim, n_planes, n_tables, seed, id_col, vec_col, method, "neighbor_id"
     ).localCheckpoint(eager=True)
     if queries is corpus:
-        # self-join case: the query signatures are the same index
+        # self-join case: the query signatures are the same index —
+        # taken from the UNthinned index so a query in a hot bucket
+        # still probes it
         qsig = csig.withColumnRenamed("neighbor_id", "query_id")
     else:
         qsig = _table_signatures(
             queries, dim, n_planes, n_tables, seed, id_col, vec_col, method, "query_id"
+        )
+    if max_bucket_size is not None:
+        csig = _thin_hot_buckets(
+            csig, ["table", "bucket"], "neighbor_id", max_bucket_size, "lsh_topk"
         )
     if probe_hamming > 0:
         masks = [0]
@@ -335,6 +395,7 @@ def ivf_topk(
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     other classic ANN scale path next to LSH:
@@ -353,7 +414,10 @@ def ivf_topk(
     Scale shape: the expensive pass is one shuffle keyed by centroid
     id; per-list work is bounded by list size x n_probe, and skewed
     lists are AQE-split. recall rises with n_probe (probe all lists
-    == exact search).
+    == exact search). ``max_bucket_size`` additionally caps any
+    inverted list that k-means leaves degenerate (all data in one
+    cluster) by deterministic hash-thinning — see lsh_topk; logged,
+    never silent; None disables.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -373,6 +437,10 @@ def ivf_topk(
     )
     model = km.fit(c_norm)
     inv = model.transform(c_norm).select("neighbor_id", "_cv", "centroid")
+    if max_bucket_size is not None:
+        inv = _thin_hot_buckets(
+            inv, ["centroid"], "neighbor_id", max_bucket_size, "ivf_topk"
+        )
 
     centers = [list(c) for c in model.clusterCenters()]
     codebook = F.array(

@@ -676,3 +676,76 @@ def test_node_similarity_upper_degree_cutoff(spark, catalog):
     assert 9 not in nodes_seen
     pairs = {(r["node1"], r["node2"]): r["similarity"] for r in got}
     assert pairs[(0, 1)] == 1.0
+
+
+def test_lsh_topk_max_bucket_size_thins_hot_bucket(spark, capsys):
+    """An adversarial corpus (every vector identical direction ->
+    perfect LSH collisions, the r4 sf1.0 blowup shape) lands in one
+    bucket per table; max_bucket_size thins the corpus list to ~cap
+    with a LOGGED count, results keep the schema/top-k contract, and
+    queries still receive candidates (thinning, not bucket-drop)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [
+        (i, [float(x) for x in base + rng.standard_normal(16) * 1e-3])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = ann.lsh_topk(df, df, dim=16, k=3, n_planes=4, max_bucket_size=20)
+    got = capped.collect()
+    out = capsys.readouterr().out
+    assert "lsh_topk: thinning" in out and "max_bucket_size=20" in out
+    # every query keeps candidates and the per-query k bound holds
+    assert {r["query_id"] for r in got} == set(range(200))
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 3 for v in per_q.values())
+    # the candidate universe actually shrank: an uncapped run pairs
+    # every query with all 199 others; the capped corpus list holds
+    # ~20 rows, so no query can have seen more than the thinned list
+    uncapped = ann.lsh_topk(df, df, dim=16, k=3, n_planes=4)
+    assert uncapped.count() == got.__len__() == 200 * 3
+
+
+def test_lsh_topk_cap_noop_on_benign_corpus(spark, capsys):
+    """Below the cap nothing is thinned, nothing is logged, and the
+    result is IDENTICAL to the uncapped run."""
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann.lsh_topk(df, df, dim=16, k=3, n_planes=4).collect()
+    }
+    capped = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann.lsh_topk(
+            df, df, dim=16, k=3, n_planes=4, max_bucket_size=1000
+        ).collect()
+    }
+    assert "thinning" not in capsys.readouterr().out
+    assert plain == capped
+
+
+def test_ivf_topk_max_bucket_size_thins_degenerate_list(spark, capsys):
+    """k-means on a point-mass corpus leaves one degenerate inverted
+    list; the cap thins it with a logged count and every query still
+    gets its k candidates."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    rows = [
+        (i, [float(x) for x in base + rng.standard_normal(8) * 1e-3])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ann.ivf_topk(
+        df, df, k=3, n_centroids=4, n_probe=1, seed=5, max_bucket_size=25
+    ).collect()
+    out = capsys.readouterr().out
+    assert "ivf_topk: thinning" in out
+    assert {r["query_id"] for r in got} == set(range(150))
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 3 for v in per_q.values())
