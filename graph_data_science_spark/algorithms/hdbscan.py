@@ -27,15 +27,29 @@ Deterministic (exact distances, min-id cluster labels) and fully
 SQL-replayable: the driver oracle recomputes distances, core
 distances, the epsilon graph, and min-label components in DuckDB.
 
-DIVERGENCE from GDS 2.5 `gds.hdbscan`: the reference extracts the
-flat clustering from the full condensed hierarchy by per-cluster
-STABILITY (sum of 1/lambda spans), with no epsilon parameter; this
-implementation is the DBSCAN* cut of the same mutual-reachability
-structure at a caller-chosen epsilon — i.e. one fixed density level
-of the hierarchy rather than the stability-optimal mix of levels.
-Identical on data whose clusters all live at one density scale;
-differs when cluster densities vary widely. Declared in SURVEY.md
-§2 (beyond-reference bonus operator).
+Two flat-cut MODES over the same mutual-reachability structure:
+
+* ``mode="epsilon"`` — the DBSCAN* cut above, at one caller-chosen
+  density level.
+* ``mode="stability"`` — GDS 2.5 `gds.hdbscan` semantic parity
+  (HDBSCAN proper, no epsilon): single-linkage dendrogram from the
+  MST of the mutual-reachability graph (distributed Boruvka,
+  algorithms.spanning), condensed by ``min_cluster_size``, clusters
+  selected by Excess-of-Mass STABILITY (sum over points of
+  lambda_leave - lambda_birth, lambda = 1/distance; a cluster is
+  kept iff its own stability beats the sum of its best descendant
+  selections; the root is never selected). The kNN, core-distance,
+  mutual-reachability, and MST passes are all distributed; only the
+  condensed-tree walk runs on the driver over the MST's n-1 edges —
+  O(n) driver ints, the same single-node bound as the reference's
+  own implementation, with the quadratic work staying on the
+  cluster. Deterministic: exact distances, (weight, src, dst) MST
+  tie-break, min-member-id flat labels.
+
+The epsilon mode is identical to stability mode on data whose
+clusters all live at one density scale; stability mode wins when
+cluster densities vary widely (the fixture test pins exactly that
+two-scale case). Declared in SURVEY.md §2.
 """
 
 from __future__ import annotations
@@ -59,12 +73,13 @@ class HdbscanResult:
 def hdbscan(
     spark: SparkSession,
     nodes: DataFrame,
-    epsilon: float,
+    epsilon: float | None = None,
     id_col: str = "id",
     vec_col: str = "embedding",
     k: int = 5,
     min_cluster_size: int = 5,
     candidates: DataFrame | None = None,
+    mode: str = "epsilon",
 ) -> HdbscanResult:
     """See module docstring.
 
@@ -76,6 +91,11 @@ def hdbscan(
     all-pairs baseline, fine up to ~10^5 vectors per run.
     """
     from graph_data_science_spark.algorithms.wcc import wcc
+
+    if mode not in ("epsilon", "stability"):
+        raise ValueError("mode must be 'epsilon' or 'stability'")
+    if mode == "epsilon" and epsilon is None:
+        raise ValueError("mode='epsilon' requires an epsilon")
 
     v = nodes.select(
         F.col(id_col).alias("id"),
@@ -124,6 +144,9 @@ def hdbscan(
             F.greatest("d", "_cu", "_cn").alias("mreach"),
         )
     )
+    if mode == "stability":
+        return _stability_cut(spark, v, mreach, core, min_cluster_size)
+
     eps_edges = mreach.where(F.col("mreach") <= F.lit(float(epsilon))).select(
         F.col("u").alias("src"),
         F.col("nbr").alias("dst"),
@@ -160,3 +183,245 @@ def hdbscan(
         core_distances=core.select(F.col("u").alias("id"), "core_distance"),
         n_clusters=n_clusters,
     )
+
+
+def _stability_cut(
+    spark: SparkSession,
+    v: DataFrame,
+    mreach: DataFrame,
+    core: DataFrame,
+    min_cluster_size: int,
+) -> HdbscanResult:
+    """Stability-mode flat cut (module docstring): distributed MST of
+    the mutual-reachability graph, then the condensed-tree walk and
+    Excess-of-Mass selection (Campello et al. 2013 §4) driver-side
+    over the MST's n-1 edges."""
+    from graph_data_science_spark.algorithms.spanning import spanning_forest
+
+    mst_graph = Graph(
+        name="hdbscan_mreach",
+        edges=mreach.select(
+            F.col("u").alias("src"),
+            F.col("nbr").alias("dst"),
+            F.lit("MR").alias("rel_type"),
+            F.col("mreach").alias("weight"),
+        ),
+        nodes=v.select("id"),
+        directed=True,  # spanning_forest canonicalizes + min-aggs dups
+    )
+    mst_edges = [
+        (int(r["src"]), int(r["dst"]), float(r["weight"]))
+        for r in spanning_forest(spark, mst_graph, objective="minimum").collect()
+    ]
+    point_ids = [int(r["id"]) for r in v.select("id").collect()]
+    labels = _condense_and_select(mst_edges, point_ids, min_cluster_size)
+    clusters = spark.createDataFrame(
+        [(p, labels.get(p, -1)) for p in point_ids], "id long, cluster long"
+    ).localCheckpoint(eager=True)
+    n_clusters = len({c for c in labels.values() if c >= 0})
+    v.unpersist()
+    return HdbscanResult(
+        clusters=clusters,
+        core_distances=core.select(F.col("u").alias("id"), "core_distance"),
+        n_clusters=n_clusters,
+    )
+
+
+def _condense_and_select(
+    mst_edges: list[tuple[int, int, float]],
+    point_ids: list[int],
+    min_cluster_size: int,
+) -> dict[int, int]:
+    """{point_id: flat_label} by condensed-tree stability selection.
+
+    Single-linkage dendrogram via union-find over edges ascending by
+    (weight, src, dst); forest components are joined under a virtual
+    root at distance=inf (lambda=0) so each big-enough component is a
+    first-level cluster candidate. Condense: at a split whose sides
+    are both >= min_cluster_size the cluster dies into two children;
+    an undersized side's points fall out at that lambda; two
+    undersized sides end the cluster. Stability(c) = sum over points
+    of (lambda_leave - lambda_birth). EOM: keep c iff stability(c) >=
+    sum of its subtrees' best values; the virtual root is never kept.
+    Flat labels = min member point id (the epsilon mode's label
+    convention)."""
+    n = len(point_ids)
+    idx = {p: i for i, p in enumerate(point_ids)}
+    # --- dendrogram (union-find; next internal node = n, n+1, ...) ---
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    INF = float("inf")
+    edges = sorted(
+        ((w, idx[a], idx[b]) for a, b, w in mst_edges),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    children: dict[int, tuple[int, int]] = {}
+    height: dict[int, float] = {}
+    size = [1] * n
+    root_of = list(range(n))  # current dendrogram node of each set root
+    nxt = n
+    for w, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        node = nxt
+        nxt += 1
+        children[node] = (root_of[ra], root_of[rb])
+        height[node] = w
+        parent[rb] = ra
+        size[ra] = size[ra] + size[rb]
+        root_of[ra] = node
+    # join remaining forest roots under a virtual root at inf
+    roots = sorted({root_of[find(i)] for i in range(n)})
+    while len(roots) > 1:
+        node = nxt
+        nxt += 1
+        children[node] = (roots[0], roots[1])
+        height[node] = INF
+        roots = [node] + roots[2:]
+    top = roots[0]
+
+    def node_size(x: int) -> int:
+        return 1 if x < n else size_cache[x]
+
+    size_cache: dict[int, int] = {}
+    order = []
+    stack = [top]
+    while stack:  # postorder sizes without recursion
+        x = stack.pop()
+        order.append(x)
+        if x >= n:
+            stack.extend(children[x])
+    for x in reversed(order):
+        if x >= n:
+            l, r = children[x]
+            size_cache[x] = node_size(l) + node_size(r)
+
+    # --- condensed tree -------------------------------------------------
+    def lam(d: float) -> float:
+        if d == INF:
+            return 0.0
+        return 1.0 / max(d, 1e-12)
+
+    mcs = max(2, int(min_cluster_size))
+    cluster_children: dict[int, list[int]] = {}
+    cluster_points: dict[int, list[tuple[int, float]]] = {}  # (leaf, lam_leave)
+    cluster_birth: dict[int, float] = {}
+    cluster_extent: dict[int, int] = {}  # condensed cluster -> dendro node
+    cid = 0
+
+    def leaves_under(x: int) -> list[int]:
+        out, st = [], [x]
+        while st:
+            y = st.pop()
+            if y < n:
+                out.append(y)
+            else:
+                st.extend(children[y])
+        return out
+
+    # walk: (dendro_node, cluster_id); cluster 0 = virtual-root cluster
+    cluster_children[0] = []
+    cluster_points[0] = []
+    cluster_birth[0] = 0.0
+    cluster_extent[0] = top
+    next_cid = 1
+    work = [(top, 0)]
+    while work:
+        x, c = work.pop()
+        while x >= n:
+            l, r = children[x]
+            lmb = lam(height[x])
+            big_l = node_size(l) >= mcs
+            big_r = node_size(r) >= mcs
+            if big_l and big_r:
+                for ch in (l, r):
+                    nc = next_cid
+                    next_cid += 1
+                    cluster_children.setdefault(c, []).append(nc)
+                    cluster_children[nc] = []
+                    cluster_points[nc] = []
+                    cluster_birth[nc] = lmb
+                    cluster_extent[nc] = ch
+                # points still present when c dies leave at this lambda
+                cluster_points[c].extend(
+                    (leaf, lmb) for leaf in leaves_under(x)
+                )
+                work.append((l, next_cid - 2))
+                work.append((r, next_cid - 1))
+                x = -1
+                break
+            if big_l or big_r:
+                small, big = (r, l) if big_l else (l, r)
+                cluster_points[c].extend(
+                    (leaf, lmb) for leaf in leaves_under(small)
+                )
+                x = big
+                continue
+            # both sides undersized: every remaining point leaves here
+            cluster_points[c].extend((leaf, lmb) for leaf in leaves_under(x))
+            x = -1
+            break
+        if x >= 0 and x < n:
+            # descended to a single point (component of size 1)
+            cluster_points[c].append((x, INF if c == 0 else lam(0.0)))
+    # note: points recorded at c's death (big/big split) use lam of the
+    # split — their membership in c spans [birth, split], the EOM span
+
+    # --- stability + EOM selection --------------------------------------
+    stability = {
+        c: sum(
+            (lv if lv != INF else 0.0) - cluster_birth[c]
+            for _, lv in pts
+        )
+        if c != 0
+        else 0.0
+        for c, pts in cluster_points.items()
+    }
+    best: dict[int, float] = {}
+    selected: set[int] = set()
+    for c in sorted(cluster_children, reverse=True):  # children have larger ids
+        ch_sum = sum(best[ch] for ch in cluster_children[c])
+        if c == 0:
+            best[c] = ch_sum
+            continue
+        if cluster_children[c] and ch_sum > stability[c]:
+            best[c] = ch_sum
+        else:
+            best[c] = stability[c]
+            selected.add(c)
+    # drop selected descendants of selected clusters (keep the highest)
+    final: set[int] = set()
+    stack = [(0, False)]
+    while stack:
+        c, covered = stack.pop()
+        keep = c in selected and not covered and c != 0
+        if keep:
+            final.add(c)
+        for ch in cluster_children.get(c, []):
+            stack.append((ch, covered or keep))
+
+    labels: dict[int, int] = {}
+    for c in final:
+        # FOSC extent labeling: a selected cluster's flat members are
+        # every leaf under its dendrogram node (descendant clusters
+        # were deselected and map up to the selected ancestor — the
+        # do_labelling convention); noise = points whose fall-out
+        # chain reaches the virtual root without crossing a selected
+        # cluster. NOTE the documented kNN-restriction artifact: a
+        # far straggler whose ONLY kNN attachment is one cluster's
+        # component joins that cluster's extent here, where the
+        # full-metric tree would shed it from the (never-selected)
+        # root — raise k, or use mode="epsilon", for the full-tree
+        # noise behavior on such points.
+        members = [point_ids[leaf] for leaf in leaves_under(cluster_extent[c])]
+        lbl = min(members)
+        for p in members:
+            labels[p] = lbl
+    return labels

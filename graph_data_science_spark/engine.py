@@ -809,8 +809,10 @@ class GdsEngine:
 
         return self._proc(graph, run, "community")
 
-    def hdbscan(self, graph: Graph, epsilon: float, **cfg) -> ProcResult:
-        """gds.hdbscan analog over a node embedding property."""
+    def hdbscan(self, graph: Graph, epsilon: float | None = None, **cfg) -> ProcResult:
+        """gds.hdbscan analog over a node embedding property;
+        mode="stability" (no epsilon) is the GDS 2.5 condensed-tree
+        stability cut, mode="epsilon" the DBSCAN* level cut."""
         from graph_data_science_spark.algorithms.hdbscan import hdbscan
 
         if graph.nodes is None:

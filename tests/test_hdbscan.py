@@ -100,3 +100,92 @@ def test_candidates_hook_matches_exact_without_crossjoin(spark, monkeypatch):
     got_a = sorted((r["id"], r["cluster"]) for r in approx.clusters.collect())
     assert got_a == got_e
     assert approx.n_clusters == 3
+
+
+def _two_scale(spark):
+    # three blobs at WILDLY different density scales: A and B tight
+    # (spacing 0.01), C loose (spacing 5.0) — no single epsilon
+    # captures all three
+    rows = []
+    for i in range(8):
+        rows.append((i, [0.01 * i, 0.0]))
+    for i in range(8):
+        rows.append((100 + i, [100.0 + 0.01 * i, 0.0]))
+    for i in range(8):
+        rows.append((200 + i, [1000.0 + 5.0 * i, 0.0]))
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_stability_mode_finds_clusters_at_both_scales(spark):
+    """The GDS-2.5 parity fixture: on a two-scale dataset the
+    epsilon cut at 0.5 keeps the tight blobs and loses the loose one
+    to noise; stability mode recovers all three."""
+    df = _two_scale(spark)
+    eps = hdbscan(spark, df, epsilon=0.5, k=3, min_cluster_size=4)
+    got_eps = {r["id"]: r["cluster"] for r in eps.clusters.collect()}
+    assert eps.n_clusters == 2
+    assert all(got_eps[200 + i] == -1 for i in range(8))  # loose blob lost
+
+    stab = hdbscan(spark, df, k=3, min_cluster_size=4, mode="stability")
+    got = {r["id"]: r["cluster"] for r in stab.clusters.collect()}
+    assert stab.n_clusters == 3
+    a = {got[i] for i in range(8)}
+    b = {got[100 + i] for i in range(8)}
+    c = {got[200 + i] for i in range(8)}
+    assert len(a) == len(b) == len(c) == 1
+    assert len(a | b | c) == 3
+    # min-member-id labels (the epsilon mode's label convention)
+    assert a == {0} and b == {100} and c == {200}
+
+
+def test_stability_mode_agrees_with_epsilon_on_single_scale(spark):
+    """On single-density data the stability selection lands on the
+    same partition as the DBSCAN* cut for the dense blobs. The far
+    outlier pins the DOCUMENTED kNN-restriction divergence: its only
+    kNN attachment is blob2's component, so FOSC extent labeling
+    folds it into that cluster as a low-lambda member, where both the
+    epsilon cut and a full-metric tree would call it noise."""
+    df = _blobs(spark)
+    eps = hdbscan(spark, df, epsilon=0.5, k=3, min_cluster_size=4)
+    stab = hdbscan(spark, df, k=3, min_cluster_size=4, mode="stability")
+    ge = {r["id"]: r["cluster"] for r in eps.clusters.collect()}
+    gs = {r["id"]: r["cluster"] for r in stab.clusters.collect()}
+    assert stab.n_clusters == eps.n_clusters == 2
+    assert {ge[i] for i in range(6)} == {gs[i] for i in range(6)} == {0}
+    assert {ge[10 + i] for i in range(6)} == {gs[10 + i] for i in range(6)} == {10}
+    assert ge[99] == -1 and gs[99] == 10  # the documented divergence
+
+
+def test_stability_mode_bridged_two_level_hierarchy(spark):
+    """Two tight blobs joined through one bridge point — connected in
+    the kNN graph, so the dendrogram really has two levels; EOM must
+    pick the two children over their weakly-merged parent."""
+    rows = [(i, [0.2 * i, 0.0]) for i in range(8)]           # 0 .. 1.4
+    rows.append((50, [2.5, 0.0]))                             # bridge
+    rows += [(100 + i, [3.6 + 0.2 * i, 0.0]) for i in range(8)]  # 3.6 .. 5.0
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    res = hdbscan(spark, df, k=3, min_cluster_size=4, mode="stability")
+    got = {r["id"]: r["cluster"] for r in res.clusters.collect()}
+    assert res.n_clusters == 2
+    a = {got[i] for i in range(8)}
+    b = {got[100 + i] for i in range(8)}
+    assert len(a) == 1 and len(b) == 1 and a != b and a != {-1} and b != {-1}
+
+
+def test_stability_mode_deterministic(spark):
+    df = _two_scale(spark)
+    r1 = hdbscan(spark, df, k=3, min_cluster_size=4, mode="stability")
+    r2 = hdbscan(spark, df, k=3, min_cluster_size=4, mode="stability")
+    assert sorted(map(tuple, r1.clusters.collect())) == sorted(
+        map(tuple, r2.clusters.collect())
+    )
+
+
+def test_mode_validation(spark):
+    df = _blobs(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="epsilon"):
+        hdbscan(spark, df, k=3)
+    with pytest.raises(ValueError, match="mode"):
+        hdbscan(spark, df, epsilon=0.5, mode="nope")
