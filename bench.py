@@ -236,20 +236,42 @@ def make_sf10(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
     harder input, not just more of the same."""
     from pyspark.sql import functions as F
 
-    done = os.path.join(dst_dir, "_DONE")
-    if os.path.exists(done):
-        return
-    import shutil
-
-    shutil.rmtree(dst_dir, ignore_errors=True)
-    os.makedirs(dst_dir, exist_ok=True)
     offsets = {
         "events": {"user_id": 10_000_000, "event_id": 1_000_000_000},
         "documents": {"doc_id": 1_000_000_000},
         "embeddings": {"vec_id": 1_000_000_000},
     }
+    # the _DONE marker embeds a fingerprint of the SOURCE tables, so a
+    # regenerated sf0.1 invalidates the cached sf10 instead of quietly
+    # mixing scales
+    fp = "|".join(
+        f"{t}:{os.path.getmtime(p):.0f}:{os.path.getsize(p)}"
+        for t in sorted(offsets)
+        for p in [os.path.join(src_dir, f"{t}.parquet")]
+    )
+    done = os.path.join(dst_dir, "_DONE")
+    if os.path.exists(done):
+        with open(done) as fh:
+            if fh.read().strip() == fp:
+                return
+        print("make_sf10: source tables changed — regenerating sf10 data")
+    import shutil
+
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(dst_dir, exist_ok=True)
     for table, offs in offsets.items():
         df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
+        # a source id at or above its copy offset would collide across
+        # copies and silently merge them, distorting the 10x datapoint
+        bounds = df.agg(
+            *[F.max(F.col(c)).alias(c) for c in offs]
+        ).collect()[0]
+        for c, off in offs.items():
+            if bounds[c] is not None and int(bounds[c]) >= off:
+                raise RuntimeError(
+                    f"make_sf10: {table}.{c} max id {bounds[c]} >= copy "
+                    f"offset {off} — raise the offset or the copies collide"
+                )
         copies = []
         for i in range(10):
             copies.append(
@@ -269,7 +291,7 @@ def make_sf10(spark: SparkSession, src_dir: str, dst_dir: str) -> None:
             os.path.join(dst_dir, f"{table}.parquet")
         )
     with open(done, "w") as fh:
-        fh.write("ok\n")
+        fh.write(fp + "\n")
 
 
 def lsh_recall(spark: SparkSession, sf_dir: str) -> dict:

@@ -76,9 +76,12 @@ def _scalar_exact_knn(
     a superset of the true top-k. Replaces NN-descent for scalars,
     whose recall degrades badly on dense/tied values (measured 0.65
     mean-similarity ratio on sf0.1 c_acctbal; this path is 1.0 by
-    construction). Ranking applies the engine-wide 6-dp similarity
-    rounding before the (similarity DESC, node2 ASC) tie-break, like
-    every other top-k here.
+    construction). Ranking uses the UNROUNDED similarity (the
+    superset proof holds for exact distances: any value tying the
+    k-th merged distance sits within +-k distinct ranks; a
+    post-rounding tie could instead be won by a node OUTSIDE the
+    window) — the engine-wide 6-dp rounding is applied to the output
+    column only.
     """
     from graph_data_science_spark.util import global_rank
 
@@ -117,14 +120,13 @@ def _scalar_exact_knn(
     sims = cand.select(
         "node1",
         "node2",
-        F.round(
-            1.0 / (1.0 + F.abs(F.col("_av") - F.col("_bv"))), 6
-        ).alias("similarity"),
+        (1.0 / (1.0 + F.abs(F.col("_av") - F.col("_bv")))).alias("_sim"),
     )
-    win = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
+    win = Window.partitionBy("node1").orderBy(F.desc("_sim"), F.asc("node2"))
     return (
         sims.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
+        .select("node1", "node2", F.round("_sim", 6).alias("similarity"), "rank")
         .localCheckpoint(eager=True)
     )
 

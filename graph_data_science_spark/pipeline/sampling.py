@@ -403,7 +403,22 @@ def temperature_mix(
     qsum = sum(q.values())
     q = {s: v / qsum for s, v in q.items()}
     n_out = min(masses[s] / q[s] for s in masses)
-    rates = [(s, round(q[s] * n_out / masses[s], 9)) for s in sorted(masses)]
+    # 9-dp rounding must replay bit-stably against SQL ROUND. DuckDB's
+    # ROUND(x, 9) is std::round(x * 1e9) / 1e9 on the binary double —
+    # half-AWAY-from-zero on the scaled value — while Python's
+    # round(x, 9) is correctly-rounded half-EVEN on the true decimal
+    # value; a rate on (or within one ulp of) a 9-dp boundary flips
+    # between the two. Replicate the SQL formula exactly: same
+    # multiply, exact-fraction half-away compare (math.modf is exact),
+    # same divide — IEEE doubles both sides.
+    import math
+
+    def _r9(x: float) -> float:
+        v = x * 1e9
+        frac, whole = math.modf(v)
+        return (whole + (1.0 if frac >= 0.5 else 0.0)) / 1e9
+
+    rates = [(s, _r9(q[s] * n_out / masses[s])) for s in sorted(masses)]
     rate_df = spark.createDataFrame(rates, f"{source_col} string, _rate double")
     u = _uniform(id_col, seed)
     return (
