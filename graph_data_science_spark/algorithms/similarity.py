@@ -115,7 +115,9 @@ def _eligible_edges(graph: Graph, cfg: NodeSimilarityConfig):
 
 
 def estimate_candidate_pairs(
-    graph: Graph, config: NodeSimilarityConfig | None = None
+    graph: Graph,
+    config: NodeSimilarityConfig | None = None,
+    _ind: DataFrame | None = None,
 ) -> dict:
     """EXACT candidate-pair count of the co-neighbor join, from one
     aggregate over shared-target in-degrees — the pre-flight the
@@ -126,42 +128,58 @@ def estimate_candidate_pairs(
     |E| after eligibility, the hottest shared target's in-degree,
     and the pair mass concentrated in targets above hub_threshold."""
     cfg = config or NodeSimilarityConfig()
-    _, _, _, e = _eligible_edges(graph, cfg)
-    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_d"))
+    if _ind is not None:
+        ind = _ind  # caller-shared shared-target in-degree table
+    else:
+        _, _, _, e = _eligible_edges(graph, cfg)
+        ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_dn"))
     hub_thr = cfg.hub_threshold if cfg.hub_threshold > 0 else None
     row = ind.agg(
         F.coalesce(
-            F.sum(F.col("_d") * (F.col("_d") - 1)), F.lit(0)
+            F.sum(F.col("_dn") * (F.col("_dn") - 1)), F.lit(0)
         ).alias("pairs"),
-        F.coalesce(F.sum("_d"), F.lit(0)).alias("edges"),
-        F.coalesce(F.max("_d"), F.lit(0)).alias("max_shared_degree"),
+        F.coalesce(F.sum("_dn"), F.lit(0)).alias("edges"),
+        F.coalesce(F.max("_dn"), F.lit(0)).alias("max_shared_degree"),
         F.coalesce(
             F.sum(
                 F.when(
-                    F.col("_d") > (hub_thr or 2**31), F.col("_d") * (F.col("_d") - 1)
+                    F.col("_dn") > (hub_thr or 2**31),
+                    F.col("_dn") * (F.col("_dn") - 1),
                 ).otherwise(F.lit(0))
             ),
             F.lit(0),
         ).alias("hub_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_dn") > (hub_thr or 2**31), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("hub_count"),
     ).collect()[0]
     return {
         "candidate_pairs": int(row["pairs"]),
         "edge_count": int(row["edges"]),
         "max_shared_degree": int(row["max_shared_degree"]),
         "hub_pairs": int(row["hub_pairs"]),
+        "hub_count": int(row["hub_count"]),
         "hub_threshold": hub_thr,
     }
 
 
-def _preflight_pair_guard(graph: Graph, cfg: NodeSimilarityConfig) -> None:
+def _preflight_pair_guard(
+    graph: Graph,
+    cfg: NodeSimilarityConfig,
+    ind: DataFrame | None = None,
+) -> dict | None:
     """Warn (or reject, when max_candidate_pairs is set) BEFORE the
     pair join is built, when the exact candidate-pair count dwarfs
     |E| — the ProcedureExecutor.java:110 sudo-check applied to the
     operator that measured ~65x wall at 10x data through fixed-vocab
-    hubs. Cost: one aggregate over the cached edge table."""
+    hubs. Cost when the caller shares its hub-detection in-degree
+    table (node_similarity does): one scalar collect over it."""
     if cfg.pair_guard_factor <= 0 and cfg.max_candidate_pairs <= 0:
-        return
-    est = estimate_candidate_pairs(graph, cfg)
+        return None
+    est = estimate_candidate_pairs(graph, cfg, _ind=ind)
     pairs, edges = est["candidate_pairs"], est["edge_count"]
     if cfg.max_candidate_pairs > 0 and pairs > cfg.max_candidate_pairs:
         raise RuntimeError(
@@ -189,6 +207,7 @@ def _preflight_pair_guard(graph: Graph, cfg: NodeSimilarityConfig) -> None:
             "hard reject, or the approximate MinHash-LSH path.",
             stacklevel=3,
         )
+    return est
 
 
 def node_similarity(
@@ -198,8 +217,19 @@ def node_similarity(
 ) -> DataFrame:
     """(node1, node2, similarity, rank) — top-K similar per node."""
     cfg = config or NodeSimilarityConfig()
-    _preflight_pair_guard(graph, cfg)
     edges, deg, eligible, e = _eligible_edges(graph, cfg)
+    # ONE shared-target in-degree aggregate serves both the pre-flight
+    # pair guard (a scalar collect) and hub detection (a filter on the
+    # persisted table) — the guard costs no extra scan of e
+    guard_on = cfg.pair_guard_factor > 0 or cfg.max_candidate_pairs > 0
+    ind = None
+    est = None
+    if guard_on or cfg.hub_threshold > 0:
+        ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_dn")).persist()
+    if guard_on:
+        # ONE collect serves the guard AND hub detection (est carries
+        # hub_count, so the hub path below skips its own isEmpty job)
+        est = _preflight_pair_guard(graph, cfg, ind=ind)
 
     wcols1 = [F.col("_w").alias("_w1")] if cfg.weighted else []
     wcols2 = [F.col("_w").alias("_w2")] if cfg.weighted else []
@@ -232,17 +262,17 @@ def node_similarity(
         # exact and the hub's work spreads over S^2 tasks.
         s = cfg.hub_salt
         hubs = (
-            e.groupBy("dst")
-            .agg(F.count(F.lit(1)).alias("_dn"))
-            .where(F.col("_dn") > cfg.hub_threshold)
+            ind.where(F.col("_dn") > cfg.hub_threshold)
             .select("dst")
             .persist()
         )
-        if hubs.isEmpty():
+        no_hubs = est["hub_count"] == 0 if est is not None else hubs.isEmpty()
+        if no_hubs:
             # common case: no dst above threshold — take the plain
             # join and pay only the one degree aggregate, not the
             # anti/semi/salt-join plumbing
             hubs.unpersist()
+            ind.unpersist()
             pairs = a.join(b, "dst").select(*pcols)
         else:
             a_n = a.join(F.broadcast(hubs), "dst", "left_anti")
@@ -261,7 +291,10 @@ def node_similarity(
             )
             pairs_h = a_h.join(b_h, ["dst", "_i", "_j"]).select(*pcols)
             pairs = pairs_n.unionByName(pairs_h)
+            ind.unpersist()  # hubs (persisted) carries the plan from here
     else:
+        if ind is not None:
+            ind.unpersist()
         pairs = a.join(b, "dst").select(*pcols)
 
     inter_aggs = [F.count(F.lit(1)).alias("inter")]
