@@ -50,6 +50,17 @@ class LabelPropagationConfig:
     node_weight_column: str | None = None
     weighted: bool = False  # use edge weights
     blocks: int = 2  # 2 = block Gauss-Seidel (even ids then odd), 1 = Jacobi
+    #: opt-in CHUNK-ORDERED Gauss-Seidel matching the reference's
+    #: in-place batch sweep (ComputeStep.java:82-92: vertices update
+    #: in id order within a batch, each reading every earlier update):
+    #: > 1 partitions the id space into that many contiguous-rank
+    #: chunks, updated SEQUENTIALLY within one iteration, each chunk
+    #: re-gathering against all earlier chunks' NEW labels. Costs one
+    #: vote join per chunk per iteration — a parity-study mode for
+    #: iteration-bounded comparisons against the reference, not the
+    #: default (convergence fixtures agree across all modes; mid-run
+    #: states legitimately differ, see tests). Overrides ``blocks``.
+    chunk_ordered: int = 0
 
 
 class _LabelPropComputation(PregelComputation):
@@ -84,10 +95,24 @@ class _LabelPropComputation(PregelComputation):
             )
         else:
             label = F.col("id")
-        return verts.select(
+        out = verts.select(
             "id", label.alias("label"), nw.alias("node_weight"),
             F.lit(False).alias("_halted"),
         )
+        if self.cfg.chunk_ordered > 1:
+            from graph_data_science_spark.util import global_rank
+
+            c = self.cfg.chunk_ordered
+            n = out.count()
+            ranked = global_rank(out.select("id"), ["id"], rank_col="_r")
+            chunks = ranked.select(
+                "id",
+                F.floor((F.col("_r") - 1) * c / F.lit(max(n, 1)))
+                .cast("int")
+                .alias("_chunk"),
+            )
+            out = out.join(chunks, "id")
+        return out
 
     def _votes(self, state: DataFrame, edges: DataFrame) -> DataFrame:
         """Winning label per gathering vertex (dst, msg) — argmax of
@@ -120,6 +145,8 @@ class _LabelPropComputation(PregelComputation):
         return messages  # argmax already applied in _votes
 
     def step(self, state: DataFrame, inbox: DataFrame, iteration: int) -> DataFrame:
+        if self.cfg.chunk_ordered > 1:
+            return self._chunk_ordered_step(state, inbox)
         if self.cfg.blocks <= 1:
             # one flat select — withColumn chains re-analyze the plan
             # per call, a per-superstep driver cost the loop repeats
@@ -167,6 +194,57 @@ class _LabelPropComputation(PregelComputation):
                 "node_weight",
                 "_halted",
             )
+        )
+
+    def _chunk_ordered_step(self, state: DataFrame, inbox: DataFrame) -> DataFrame:
+        """One reference-batch-semantics iteration: chunk 0 adopts the
+        phase-0 winners (computed against last iteration's labels);
+        every later chunk re-gathers against the state INCLUDING all
+        earlier chunks' new labels — the distributed, deterministic
+        analog of the in-place id-ordered sweep."""
+        cols = ["id", "label", "node_weight", "_halted", "_chunk"]
+        cur = (
+            state.join(inbox, "id", "left")
+            .withColumn(
+                "_new",
+                F.when(
+                    F.col("_chunk") == 0,
+                    F.coalesce(F.col("msg"), F.col("label")),
+                ).otherwise(F.col("label")),
+            )
+            .select(
+                "id",
+                F.col("_new").alias("label"),
+                "node_weight",
+                "_halted",
+                "_chunk",
+                F.col("label").alias("_old"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        for c in range(1, self.cfg.chunk_ordered):
+            votes = self._votes(cur, self._edges)
+            cur = (
+                cur.join(votes, cur.id == votes.dst, "left")
+                .withColumn(
+                    "_new",
+                    F.when(
+                        F.col("_chunk") == c,
+                        F.coalesce(F.col("msg"), F.col("label")),
+                    ).otherwise(F.col("label")),
+                )
+                .select(
+                    "id",
+                    F.col("_new").alias("label"),
+                    "node_weight",
+                    "_halted",
+                    "_chunk",
+                    "_old",
+                )
+                .localCheckpoint(eager=False)
+            )
+        return cur.withColumn("_halted", F.col("label") == F.col("_old")).select(
+            *cols
         )
 
 
