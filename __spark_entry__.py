@@ -2059,6 +2059,74 @@ def _q_hdbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters.select("id", "cluster")
 
 
+def _q_hdbscan_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDS 2.5 gds.hdbscan STABILITY mode (algorithms.hdbscan
+    mode="stability": mutual-reachability MST -> condensed tree ->
+    Excess-of-Mass selection). The EOM walk is not SQL-expressible,
+    so the oracle is invariant-style (the knn_props pattern): the
+    Spark side checks the contract — full point coverage, every
+    selected cluster >= min_cluster_size, labels = min member id,
+    noise only as -1 — and returns booleans the SQL states, plus the
+    point count the SQL recomputes."""
+    from graph_data_science_spark.algorithms.hdbscan import hdbscan
+
+    emb = ev.load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    res = hdbscan(
+        spark, emb, k=HDBSCAN_K, min_cluster_size=HDBSCAN_MIN,
+        mode="stability",
+    )
+    cl = res.clusters
+    per = cl.where(F.col("cluster") >= 0).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("id").alias("_minid")
+    )
+    pstats = per.agg(
+        F.coalesce(
+            F.min((F.col("_n") >= HDBSCAN_MIN).cast("int")).cast("boolean"),
+            F.lit(True),
+        ).alias("clusters_ge_min"),
+        F.coalesce(
+            F.min((F.col("cluster") == F.col("_minid")).cast("int")).cast("boolean"),
+            F.lit(True),
+        ).alias("labels_min_member"),
+        (F.count(F.lit(1)) >= 1).alias("n_clusters_positive"),
+    )
+    cstats = cl.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(
+            F.min(
+                ((F.col("cluster") >= 0) | (F.col("cluster") == -1)).cast("int")
+            ).cast("boolean"),
+            F.lit(True),
+        ).alias("labels_valid"),
+    )
+    return cstats.crossJoin(pstats).select(
+        F.col("n_points").cast("long").alias("n_points"),
+        "labels_valid",
+        "clusters_ge_min",
+        "labels_min_member",
+        "n_clusters_positive",
+    )
+
+
+ANN_LSH_CAP = 8
+
+
+def _q_ann_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped LSH top-k (pipeline.ann.lsh_topk
+    max_bucket_size): corpus lists above the cap are thinned by the
+    SQL-replayable LCG hash (ann.thin_hash), queries stay unthinned.
+    Value-exact: the oracle replays signatures, bucket sizes, the
+    thinning decision, and the per-query top-k bit-for-bit."""
+    emb = ev.load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(
+        emb, emb, dim=ANN_DIM, k=5, n_planes=ANN_LSH_PLANES,
+        n_tables=ANN_LSH_TABLES, seed=ANN_SEED,
+        max_bucket_size=ANN_LSH_CAP,
+    )
+
+
 def _hdbscan_sql() -> str:
     return f"""
 WITH RECURSIVE e AS (
@@ -4395,6 +4463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "linkpred_scores": _q_linkpred_scores,
         "csv_roundtrip": _q_csv_roundtrip,
+        # round-5 additions (positions 49-50 of the 50-query budget)
+        "hdbscan_stability": _q_hdbscan_stability,
+        "ann_lsh_capped": _q_ann_lsh_capped,
         "bridges": _q_bridges,
         "articulation_points": _q_articulation_points,
         "hashgnn": _q_hashgnn,
@@ -6674,6 +6745,50 @@ WITH {_lsh_sig_ctes().strip()},
 cand AS MATERIALIZED (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
   FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.v, n.v)
+           / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(n.v, n.v))) AS cos
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+           AS rank
+  FROM scored
+) x WHERE rank <= 5
+""",
+        "hdbscan_stability": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       TRUE AS labels_valid,
+       TRUE AS clusters_ge_min,
+       TRUE AS labels_min_member,
+       TRUE AS n_clusters_positive
+FROM embeddings
+""",
+        "ann_lsh_capped": f"""
+WITH {_lsh_sig_ctes().strip()},
+bsz AS MATERIALIZED (
+  SELECT tbl, bucket, COUNT(*) AS bn FROM sig GROUP BY tbl, bucket
+),
+sigc AS MATERIALIZED (
+  -- corpus-side hash-thinning replay (pipeline.ann.thin_hash, LCG):
+  -- keep iff bucket within cap, else hash % size < cap
+  SELECT s.vec_id, s.tbl, s.bucket
+  FROM sig s JOIN bsz b USING (tbl, bucket)
+  WHERE b.bn <= {ANN_LSH_CAP}
+     OR ((((s.vec_id % 2147483648) * 2654435761
+           + s.tbl * 69069 + s.bucket * 40503 + 12345) % 2147483648)
+         % b.bn) < {ANN_LSH_CAP}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM sig a JOIN sigc b ON a.tbl = b.tbl AND a.bucket = b.bucket
   WHERE a.vec_id <> b.vec_id
 ),
 scored AS (

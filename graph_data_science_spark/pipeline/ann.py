@@ -255,12 +255,14 @@ def _thin_hot_buckets(
 ) -> DataFrame:
     """Thin every bucket of an ANN index to ~``cap`` member rows by
     deterministic hash-sampling: a member survives iff
-    pmod(xxhash64(id, *bucket), size) < cap, i.e. with rate
+    thin_hash(id, *bucket) % size < cap, i.e. with rate
     cap/size — so expected thinned size == cap, the decision is
     reproducible per (bucket, id), and the pass is one size aggregate
     plus one filter join (no per-bucket sort: the hot bucket never
     funnels into a single task the way a row_number window would).
-    The thin is LOGGED, never silent (the dedup-family convention,
+    The hash is the repo's LCG recipe (NOT xxhash64) so the entire
+    capped search replays value-exact in ANSI SQL. The thin is
+    LOGGED, never silent (the dedup-family convention,
     pipeline/dedup.py ngram_jaccard_pairs)."""
     sizes = index.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bn"))
     hot = sizes.where(F.col("_bn") > cap)
@@ -276,15 +278,28 @@ def _thin_hot_buckets(
         f"max_bucket_size={cap} (~{stats['n_over']} of their rows "
         f"hash-sampled out; hottest bucket held {stats['max_bucket']})"
     )
-    keep = F.pmod(
-        F.xxhash64(F.col(id_col), *[F.col(c) for c in bucket_cols]),
-        F.col("_bn"),
-    ) < F.lit(cap)
+    keep = F.pmod(thin_hash(id_col, bucket_cols), F.col("_bn")) < F.lit(cap)
     return (
         index.join(sizes, bucket_cols)
         .where((F.col("_bn") <= cap) | keep)
         .drop("_bn")
     )
+
+
+#: positional multipliers for thin_hash bucket columns — fixed so the
+#: SQL oracle can replay the decision (see __spark_entry__ capped-LSH
+#: oracle)
+THIN_HASH_MULTS = (69069, 40503, 48271)
+
+
+def thin_hash(id_col: str, bucket_cols: list[str]) -> Column:
+    """((id % 2^31) * 2654435761 + sum(bucket_i * mult_i) + 12345)
+    % 2^31 — 64-bit-safe integer arithmetic identical in Spark and
+    ANSI SQL, so the hash-thinned index is exactly reproducible."""
+    expr = F.pmod(F.col(id_col).cast("long"), F.lit(2147483648)) * F.lit(2654435761)
+    for c, m in zip(bucket_cols, THIN_HASH_MULTS):
+        expr = expr + F.col(c).cast("long") * F.lit(m)
+    return F.pmod(expr + F.lit(12345), F.lit(2147483648))
 
 
 def lsh_topk(
