@@ -298,3 +298,26 @@ def test_round4_facade_procs_run(spark, gds):
               "gds.shortest_path_dijkstra", "gds.topological_sort",
               "gds.hdbscan", "gds.knn", "gds.bfs", "gds.dfs"):
         assert p in names, p
+
+
+def test_facade_hdbscan_stability_mode(spark, gds):
+    emb_rows = [(i, [0.01 * i, 0.0]) for i in range(6)] + [
+        (10 + i, [5.0 + 0.01 * i, 5.0]) for i in range(6)
+    ]
+    nodes = spark.createDataFrame(emb_rows, "id long, embedding array<double>")
+    g = gds.graph.create(
+        "hdb_stab", edge_df(spark, [(0, 1)]), nodes=nodes
+    )
+    res = gds.hdbscan(g, k=3, min_cluster_size=4, mode="stability")
+    got = {r["id"]: r["cluster"] for r in res.stream().collect()}
+    assert len({got[i] for i in range(6)}) == 1
+    assert len({got[10 + i] for i in range(6)}) == 1
+    st = res.stats()
+    assert st["n_clusters"] == 2
+
+
+def test_facade_node_similarity_estimate_has_pairs(spark, gds):
+    g = gds.graph.create("ns_est2", edge_df(spark, [(1, 0), (2, 0)]))
+    est = gds.node_similarity(g).estimate()
+    assert est["candidate_pairs"] == 2
+    assert est["algorithm"] == "node_similarity"
