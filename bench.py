@@ -523,6 +523,29 @@ def main() -> None:
         t_sf10 = time.monotonic()
         sf10_queries = run_headline(spark, sf10_dir)
         sf10_pr = timed_pagerank(spark, sf10_dir)
+        # the capped-LSH scale lever, benched per round so the r5
+        # "1.37x at 10x data" datapoint can't silently regress:
+        # max_bucket_size=64 thins the replication-adversarial hot
+        # buckets (uncapped = the ann_lsh_topk row above)
+        import __spark_entry__ as em
+        from graph_data_science_spark.pipeline import ann as _ann
+        from graph_data_science_spark.sources import events as _ev
+
+        capped = {}
+        for d, tag in ((SF_DIR, "sf01"), (sf10_dir, "sf10")):
+            emb = _ev.load_table(spark, d, "embeddings")
+            t0 = time.monotonic()
+            capped[f"rows_{tag}"] = _ann.lsh_topk(
+                emb, emb, dim=em.ANN_DIM, k=5, n_planes=em.ANN_LSH_PLANES,
+                n_tables=em.ANN_LSH_TABLES, seed=em.ANN_SEED,
+                max_bucket_size=64,
+            ).count()
+            capped[f"sec_{tag}"] = round(time.monotonic() - t0, 3)
+        capped["scale_factor_10x"] = (
+            round(capped["sec_sf10"] / capped["sec_sf01"], 2)
+            if capped["sec_sf01"]
+            else None
+        )
         sf10_block = {
             "sf": "1.0",
             "source": "10 id-offset copies of the sf0.1 tables "
@@ -530,6 +553,7 @@ def main() -> None:
             "queries": sf10_queries,
             "value_sec": round(sum(sf10_queries.values()), 3),
             "pagerank": sf10_pr,
+            "ann_lsh_capped64": capped,
             "wall_sec_total": round(time.monotonic() - t_sf10, 3),
         }
     spark.stop()

@@ -749,3 +749,31 @@ def test_ivf_topk_max_bucket_size_thins_degenerate_list(spark, capsys):
     for r in got:
         per_q.setdefault(r["query_id"], []).append(r)
     assert all(len(v) <= 3 for v in per_q.values())
+
+
+def test_thin_hash_matches_python_replica(spark):
+    """thin_hash must equal the documented closed form exactly —
+    DuckDB replays the same arithmetic (ann_lsh_capped oracle), so
+    any drift breaks the value-exact capped-search gate. Checks
+    extreme ids (64-bit-safety: (2^31-1)*2654435761 < 2^63) and
+    negative ids (pmod semantics both sides)."""
+    from graph_data_science_spark.pipeline.ann import thin_hash
+
+    rows = [
+        (0, 0, 0),
+        (1, 1, 255),
+        (2**31 - 1, 1, 255),
+        (2**62, 0, 17),
+        (-5, 1, 3),
+        (123456789012345, 0, 200),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, table int, bucket int")
+    got = {
+        r["vec_id"]: r["h"]
+        for r in df.select(
+            "vec_id", thin_hash("vec_id", ["table", "bucket"]).alias("h")
+        ).collect()
+    }
+    for vid, t, b in rows:
+        expect = ((vid % 2**31) * 2654435761 + t * 69069 + b * 40503 + 12345) % 2**31
+        assert got[vid] == expect, (vid, t, b)
