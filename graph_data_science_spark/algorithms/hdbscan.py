@@ -33,18 +33,19 @@ Two flat-cut MODES over the same mutual-reachability structure:
   density level.
 * ``mode="stability"`` — GDS 2.5 `gds.hdbscan` semantic parity
   (HDBSCAN proper, no epsilon): single-linkage dendrogram from the
-  MST of the mutual-reachability graph (distributed Boruvka,
-  algorithms.spanning), condensed by ``min_cluster_size``, clusters
-  selected by Excess-of-Mass STABILITY (sum over points of
-  lambda_leave - lambda_birth, lambda = 1/distance; a cluster is
-  kept iff its own stability beats the sum of its best descendant
-  selections; the root is never selected). The kNN, core-distance,
-  mutual-reachability, and MST passes are all distributed; only the
-  condensed-tree walk runs on the driver over the MST's n-1 edges —
-  O(n) driver ints, the same single-node bound as the reference's
-  own implementation, with the quadratic work staying on the
-  cluster. Deterministic: exact distances, (weight, src, dst) MST
-  tie-break, min-member-id flat labels.
+  MST of the mutual-reachability graph (driver-side Kruskal over the
+  collected, distributedly-canonicalized n*k kNN edges — the
+  condensed-tree walk is a driver O(n) pass either way, so the MST
+  adds only a k-factor to an existing bound; a distributed Boruvka
+  was measured and rejected, see _stability_cut), condensed by
+  ``min_cluster_size``, clusters selected by Excess-of-Mass
+  STABILITY (sum over points of lambda_leave - lambda_birth,
+  lambda = 1/distance; a cluster is kept iff its own stability beats
+  the sum of its best descendant selections; the root is never
+  selected). The kNN, core-distance, and mutual-reachability passes
+  — the quadratic work — stay distributed. Deterministic: exact
+  distances, (weight, id_a, id_b) edge tie-break on REAL point ids,
+  min-member-id flat labels.
 
 The epsilon mode is identical to stability mode on data whose
 clusters all live at one density scale; stability mode wins when
@@ -265,6 +266,8 @@ def _condense_and_select(
     Flat labels = min member point id (the epsilon mode's label
     convention)."""
     n = len(point_ids)
+    if n == 0:
+        return {}
     idx = {p: i for i, p in enumerate(point_ids)}
     # --- dendrogram (union-find; next internal node = n, n+1, ...) ---
     parent = list(range(n))
@@ -276,17 +279,19 @@ def _condense_and_select(
         return x
 
     INF = float("inf")
+    # tie-break on REAL point ids (w, a, b) — keying on collect-order
+    # positions would make tied-weight merge order (and with it the
+    # condensation on duplicate-heavy data) depend on DataFrame layout
     edges = sorted(
-        ((w, idx[a], idx[b]) for a, b, w in mst_edges),
+        ((w, a, b) for a, b, w in mst_edges),
         key=lambda t: (t[0], t[1], t[2]),
     )
     children: dict[int, tuple[int, int]] = {}
     height: dict[int, float] = {}
-    size = [1] * n
     root_of = list(range(n))  # current dendrogram node of each set root
     nxt = n
-    for w, a, b in edges:
-        ra, rb = find(a), find(b)
+    for w, pa, pb in edges:
+        ra, rb = find(idx[pa]), find(idx[pb])
         if ra == rb:
             continue
         node = nxt
@@ -294,7 +299,6 @@ def _condense_and_select(
         children[node] = (root_of[ra], root_of[rb])
         height[node] = w
         parent[rb] = ra
-        size[ra] = size[ra] + size[rb]
         root_of[ra] = node
     # join remaining forest roots under a virtual root at inf
     roots = sorted({root_of[find(i)] for i in range(n)})
@@ -333,7 +337,6 @@ def _condense_and_select(
     cluster_points: dict[int, list[tuple[int, float]]] = {}  # (leaf, lam_leave)
     cluster_birth: dict[int, float] = {}
     cluster_extent: dict[int, int] = {}  # condensed cluster -> dendro node
-    cid = 0
 
     def leaves_under(x: int) -> list[int]:
         out, st = [], [x]

@@ -166,20 +166,40 @@ def estimate_candidate_pairs(
     }
 
 
-def _preflight_pair_guard(
-    graph: Graph,
-    cfg: NodeSimilarityConfig,
-    ind: DataFrame | None = None,
-) -> dict | None:
-    """Warn (or reject, when max_candidate_pairs is set) BEFORE the
-    pair join is built, when the exact candidate-pair count dwarfs
-    |E| — the ProcedureExecutor.java:110 sudo-check applied to the
-    operator that measured ~65x wall at 10x data through fixed-vocab
-    hubs. Cost when the caller shares its hub-detection in-degree
-    table (node_similarity does): one scalar collect over it."""
-    if cfg.pair_guard_factor <= 0 and cfg.max_candidate_pairs <= 0:
-        return None
-    est = estimate_candidate_pairs(graph, cfg, _ind=ind)
+def estimate_candidate_pairs_filtered(a: DataFrame, b: DataFrame) -> dict:
+    """Exact candidate-pair count of the FILTERED co-neighbor join —
+    the a/b sides already carry the source_filter/target_filter
+    semi-joins, so the guard sees precisely what the pair join will
+    generate: sum over shared targets of |a(dst)| * |b(dst)|, minus
+    the self pairs ((x, dst) rows present on both sides)."""
+    ca = a.groupBy("dst").agg(F.count(F.lit(1)).alias("_na"))
+    cb = b.groupBy("dst").agg(F.count(F.lit(1)).alias("_nb"))
+    row = ca.join(cb, "dst").agg(
+        F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0)).alias("p"),
+        F.coalesce(F.max(F.greatest("_na", "_nb")), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum("_na"), F.lit(0)).alias("ar"),
+        F.coalesce(F.sum("_nb"), F.lit(0)).alias("br"),
+    ).collect()[0]
+    selfs = (
+        a.select(F.col("node1").alias("_n"), "dst")
+        .join(b.select(F.col("node2").alias("_n"), "dst"), ["_n", "dst"], "left_semi")
+        .count()
+    )
+    return {
+        "candidate_pairs": int(row["p"]) - int(selfs),
+        "edge_count": max(int(row["ar"]), int(row["br"])),
+        "max_shared_degree": int(row["mx"]),
+        "hub_pairs": None,
+        "hub_count": None,
+        "hub_threshold": None,
+        "filtered": True,
+    }
+
+
+def _apply_pair_guard(cfg: NodeSimilarityConfig, est: dict) -> None:
+    """Reject (max_candidate_pairs) or warn (pair_guard_factor) from a
+    computed pair estimate — shared by the unfiltered and filtered
+    pre-flight paths."""
     pairs, edges = est["candidate_pairs"], est["edge_count"]
     if cfg.max_candidate_pairs > 0 and pairs > cfg.max_candidate_pairs:
         raise RuntimeError(
@@ -195,18 +215,41 @@ def _preflight_pair_guard(
     if cfg.pair_guard_factor > 0 and pairs > threshold and pairs > 1_000_000:
         import warnings
 
+        hub_note = (
+            f"hottest shared target in-degree {est['max_shared_degree']:,}"
+        )
+        if est.get("hub_count") is not None:
+            hub_note += (
+                f", {est['hub_pairs']:,} pairs from targets above "
+                f"hub_threshold={est['hub_threshold']}"
+            )
         warnings.warn(
             f"node_similarity: co-neighbor join will generate {pairs:,} "
             f"candidate pairs ({pairs / max(edges, 1):,.0f}x the "
-            f"{edges:,} eligible edges; hottest shared target in-degree "
-            f"{est['max_shared_degree']:,}, {est['hub_pairs']:,} pairs "
-            f"from targets above hub_threshold={est['hub_threshold']}). "
+            f"{edges:,} eligible edges; {hub_note}). "
             "The plan is skew-safe but the work is quadratic in the "
             "data — consider degree_cutoff / upper_degree_cutoff to "
             "shrink neighborhoods, max_candidate_pairs to make this a "
             "hard reject, or the approximate MinHash-LSH path.",
-            stacklevel=3,
+            stacklevel=4,
         )
+
+
+def _preflight_pair_guard(
+    graph: Graph,
+    cfg: NodeSimilarityConfig,
+    ind: DataFrame | None = None,
+) -> dict | None:
+    """Warn (or reject, when max_candidate_pairs is set) BEFORE the
+    pair join is built, when the exact candidate-pair count dwarfs
+    |E| — the ProcedureExecutor.java:110 sudo-check applied to the
+    operator that measured ~65x wall at 10x data through fixed-vocab
+    hubs. Cost when the caller shares its hub-detection in-degree
+    table (node_similarity does): one scalar collect over it."""
+    if cfg.pair_guard_factor <= 0 and cfg.max_candidate_pairs <= 0:
+        return None
+    est = estimate_candidate_pairs(graph, cfg, _ind=ind)
+    _apply_pair_guard(cfg, est)
     return est
 
 
@@ -226,10 +269,6 @@ def node_similarity(
     est = None
     if guard_on or cfg.hub_threshold > 0:
         ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_dn")).persist()
-    if guard_on:
-        # ONE collect serves the guard AND hub detection (est carries
-        # hub_count, so the hub path below skips its own isEmpty job)
-        est = _preflight_pair_guard(graph, cfg, ind=ind)
 
     wcols1 = [F.col("_w").alias("_w1")] if cfg.weighted else []
     wcols2 = [F.col("_w").alias("_w2")] if cfg.weighted else []
@@ -252,6 +291,25 @@ def node_similarity(
     if tf is not None:
         b = b.join(tf, "node2", "left_semi")
 
+    if guard_on:
+        try:
+            if sf is None and tf is None:
+                # ONE collect serves the guard AND hub detection (est
+                # carries hub_count, so the hub path below skips its
+                # own isEmpty job)
+                est = _preflight_pair_guard(graph, cfg, ind=ind)
+            else:
+                # filters push semi-joins below the pair join, so the
+                # guard must count the FILTERED universe — the
+                # unfiltered estimate could reject a run whose actual
+                # pair join is tiny
+                fest = estimate_candidate_pairs_filtered(a, b)
+                _apply_pair_guard(cfg, fest)
+        except Exception:
+            if ind is not None:
+                ind.unpersist()
+            raise
+
     pcols = ["node1", "node2"] + (["_w1", "_w2"] if cfg.weighted else [])
     if cfg.hub_threshold > 0:
         # hub-aware split: dsts shared by more than hub_threshold
@@ -266,7 +324,11 @@ def node_similarity(
             .select("dst")
             .persist()
         )
-        no_hubs = est["hub_count"] == 0 if est is not None else hubs.isEmpty()
+        no_hubs = (
+            est["hub_count"] == 0
+            if est is not None and est.get("hub_count") is not None
+            else hubs.isEmpty()
+        )
         if no_hubs:
             # common case: no dst above threshold — take the plain
             # join and pay only the one degree aggregate, not the
@@ -291,7 +353,12 @@ def node_similarity(
             )
             pairs_h = a_h.join(b_h, ["dst", "_i", "_j"]).select(*pcols)
             pairs = pairs_n.unionByName(pairs_h)
-            ind.unpersist()  # hubs (persisted) carries the plan from here
+            # materialize the (tiny) hub table from the cached ind
+            # BEFORE dropping the cache — persist() is lazy, and
+            # unpersisting first would recompute the groupBy from e
+            # on the hub table's first real use
+            hubs.count()
+            ind.unpersist()
     else:
         if ind is not None:
             ind.unpersist()

@@ -296,6 +296,13 @@ def thin_hash(id_col: str, bucket_cols: list[str]) -> Column:
     """((id % 2^31) * 2654435761 + sum(bucket_i * mult_i) + 12345)
     % 2^31 — 64-bit-safe integer arithmetic identical in Spark and
     ANSI SQL, so the hash-thinned index is exactly reproducible."""
+    if len(bucket_cols) > len(THIN_HASH_MULTS):
+        raise ValueError(
+            f"thin_hash supports at most {len(THIN_HASH_MULTS)} bucket "
+            f"columns (one fixed multiplier each, so SQL replays stay "
+            f"exact); got {bucket_cols!r} — extend THIN_HASH_MULTS and "
+            "every SQL oracle that replays it together"
+        )
     expr = F.pmod(F.col(id_col).cast("long"), F.lit(2147483648)) * F.lit(2654435761)
     for c, m in zip(bucket_cols, THIN_HASH_MULTS):
         expr = expr + F.col(c).cast("long") * F.lit(m)
@@ -326,7 +333,8 @@ def lsh_topk(
     corpus, so per-bucket candidate pairs grow quadratically — one
     hot bucket is one task at 100 TB. Hot lists are THINNED to ~cap
     rows by deterministic hash-sampling (keep iff
-    pmod(xxhash64(id, bucket), size) < cap) rather than dropped
+    thin_hash(id, table, bucket) % size < cap — the SQL-replayable
+    LCG recipe, see thin_hash) rather than dropped
     whole, because for top-k search a query whose only bucket is hot
     must still see candidates (dedup's drop-the-bucket semantics —
     pipeline.dedup.minhash_lsh_candidates — would blind it); thinning

@@ -136,3 +136,35 @@ def test_proc_rejects_unknown_name(spark):
     g = gds.graph.create("est_bad", edge_df(spark, [(1, 0)]))
     with pytest.raises(ValueError, match="no estimation tree"):
         gds._proc(g, lambda: None, "x", algo="definitely_not_an_algo")
+
+
+def test_filtered_guard_counts_filtered_universe(spark):
+    """source_filter pushes a semi-join below the pair join, so the
+    guard must not reject based on the unfiltered pair count: a hub
+    graph whose unfiltered count trips max_candidate_pairs runs fine
+    when the filter keeps only a couple of sources."""
+    g = _hub_graph(spark, n_sources=200)  # 200*199 = 39,800 unfiltered
+    out = node_similarity(
+        spark,
+        g,
+        NodeSimilarityConfig(
+            max_candidate_pairs=10_000, source_filter=[1, 2], top_k=5
+        ),
+    )
+    rows = out.collect()
+    assert rows and {r["node1"] for r in rows} <= {1, 2}
+
+
+def test_filtered_guard_still_rejects_large_filtered_runs(spark):
+    """...but a filter that keeps the quadratic universe still trips
+    the reject — the guard counts the real filtered pair join."""
+    g = _hub_graph(spark, n_sources=200)
+    with pytest.raises(RuntimeError, match="max_candidate_pairs"):
+        node_similarity(
+            spark,
+            g,
+            NodeSimilarityConfig(
+                max_candidate_pairs=10_000,
+                source_filter=list(range(1, 201)),
+            ),
+        )

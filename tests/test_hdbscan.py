@@ -189,3 +189,28 @@ def test_mode_validation(spark):
         hdbscan(spark, df, k=3)
     with pytest.raises(ValueError, match="mode"):
         hdbscan(spark, df, epsilon=0.5, mode="nope")
+
+
+def test_stability_mode_empty_input(spark):
+    df = spark.createDataFrame([], "id long, embedding array<double>")
+    res = hdbscan(spark, df, k=3, min_cluster_size=2, mode="stability")
+    assert res.clusters.count() == 0
+    assert res.n_clusters == 0
+
+
+def test_stability_mode_layout_independent_on_ties(spark):
+    """Duplicate-heavy data ties every mreach weight; the dendrogram
+    tie-break keys on REAL point ids, so labels must not depend on the
+    DataFrame's partitioning/collect order."""
+    rows = [(i, [0.0, 0.0]) for i in range(8)] + [
+        (100 + i, [9.0, 9.0]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = []
+    for parts in (1, 7):
+        res = hdbscan(
+            spark, df.repartition(parts), k=3, min_cluster_size=4,
+            mode="stability",
+        )
+        out.append(sorted(map(tuple, res.clusters.collect())))
+    assert out[0] == out[1]

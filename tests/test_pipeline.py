@@ -777,3 +777,10 @@ def test_thin_hash_matches_python_replica(spark):
     for vid, t, b in rows:
         expect = ((vid % 2**31) * 2654435761 + t * 69069 + b * 40503 + 12345) % 2**31
         assert got[vid] == expect, (vid, t, b)
+
+
+def test_thin_hash_rejects_too_many_bucket_cols(spark):
+    from graph_data_science_spark.pipeline.ann import thin_hash
+
+    with pytest.raises(ValueError, match="bucket"):
+        thin_hash("vec_id", ["a", "b", "c", "d"])
